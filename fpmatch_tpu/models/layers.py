@@ -1,0 +1,137 @@
+"""Matcher building blocks: spline message passing, affinity layers,
+association-graph GNN layer, match classifier.
+
+Each module mirrors a reference component's math (cited per class) but is a
+fresh fixed-shape masked implementation operating on (N1, N2)-matrix-shaped
+association features instead of flattened n1·n2 vectors — the column-major vec
+bookkeeping of the reference (ngm.py:317-369) disappears because we never
+flatten.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.spline import spline_conv
+from ..ops.assoc import assoc_aggregate_mean
+from ..ops.sinkhorn import sinkhorn
+
+
+class SplineNet(nn.Module):
+    """Two SplineConv layers (dim=2, kernel 5, max aggregation) with a 0.1
+    residual blend — reference SConv/SiameseSConvOnNodes
+    (src/model/spline_conv.py:7-58)."""
+
+    features: int = 768
+    kernel_size: int = 5
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, src, dst, edge_attr, edge_mask, node_mask):
+        """x: (N, F); returns x + 0.1 * SConv(x)."""
+        k_total = self.kernel_size ** 2
+        h = x
+        kernel_init = nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform")  # torch-style kaiming-uniform
+        for i in range(self.num_layers):
+            w = self.param(f"conv{i}_weight", kernel_init,
+                           (k_total, self.features, self.features))
+            wr = self.param(f"conv{i}_root", kernel_init,
+                            (self.features, self.features))
+            b = self.param(f"conv{i}_bias", nn.initializers.zeros,
+                           (self.features,))
+            h = spline_conv(h, src, dst, edge_attr, w, wr, b,
+                            edge_mask, node_mask, kernel_size=self.kernel_size)
+            if i < self.num_layers - 1:
+                h = nn.relu(h)
+        return (x + 0.1 * h) * node_mask[:, None]
+
+
+class InnerProductAffinity(nn.Module):
+    """Global-feature-gated inner-product affinity
+    `softplus(X · diag(tanh(A·w)) · Yᵀ) − 0.5`
+    (reference src/model/affinity_layer.py:5-22)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, X, Y, weights, mask=None):
+        """X: (..., n1, d), Y: (..., n2, d), weights: (..., gdim)."""
+        coeff = jnp.tanh(nn.Dense(self.dim, name="A")(weights))
+        res = jnp.einsum("...id,...jd->...ij", X * coeff[..., None, :], Y)
+        res = jax.nn.softplus(res) - 0.5
+        if mask is not None:
+            res = res * mask
+        return res
+
+
+class AssocGNNLayer(nn.Module):
+    """One association-graph convolution — the reference hot loop's
+    `SAGEConv(x, adj.t()) + n_self_func(x)` plus the embedded-Sinkhorn channel
+    (src/model/gnn.py:171-226). The SpMM is the factorized mean aggregation
+    over Kᵀ from ops.assoc; the Sinkhorn channel is a per-layer masked
+    Sinkhorn on a learned scalar projection of the node embeddings.
+    """
+
+    out_features: int = 16
+    sk_channel: int = 1
+    sk_iter: int = 20
+    sk_tau: float = 0.05
+
+    @nn.compact
+    def __call__(self, X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
+                 kp_present, e1_mask, e2_mask, n1, n2):
+        """X: (N1, N2, C_in) association node features (single pair)."""
+        agg = assoc_aggregate_mean(X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
+                                   kp_present, e1_mask, e2_mask,
+                                   transpose=True)
+        x1 = nn.Dense(self.out_features, name="lin_l")(agg)
+        x1 = x1 + nn.Dense(self.out_features, use_bias=False,
+                           name="lin_r")(X)
+        h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
+        h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
+        x1 = x1 + h
+
+        if self.sk_channel:
+            sk_in = nn.Dense(self.sk_channel, name="classifier")(x1)
+            chans = []
+            for c in range(self.sk_channel):
+                ds = sinkhorn(sk_in[..., c], n1, n2, tau=self.sk_tau,
+                              max_iter=self.sk_iter, dummy_row=True)
+                chans.append(ds)
+            x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
+        return x1 * kp_present[..., None]
+
+
+class MatchClassifier(nn.Module):
+    """Genuine/imposter classifier on the masked similarity matrix — a small
+    CNN over the match map (reference ngm.py:75-106). Pooling is masked: the
+    global average divides by the valid area instead of the padded bucket
+    area, so logits don't depend on the padding bucket size."""
+
+    channels: Tuple[int, ...] = (16, 32)
+
+    @nn.compact
+    def __call__(self, match_mat, n1, n2, train: bool = False):
+        """match_mat: (B, S1, S2); n1, n2: (B,) valid counts."""
+        x = match_mat[..., None]
+        for i, ch in enumerate(self.channels):
+            x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name=f"bn{i}")(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # masked global average over the (downscaled) valid region
+        scale = 2 ** len(self.channels)
+        h, w = x.shape[1], x.shape[2]
+        rows = jnp.arange(h)[None, :, None]
+        cols = jnp.arange(w)[None, None, :]
+        vr = jnp.ceil(n1 / scale).astype(jnp.int32)[:, None, None]
+        vc = jnp.ceil(n2 / scale).astype(jnp.int32)[:, None, None]
+        m = ((rows < vr) & (cols < vc)).astype(x.dtype)[..., None]
+        pooled = (x * m).sum(axis=(1, 2)) / jnp.maximum(
+            m.sum(axis=(1, 2)), 1.0)
+        return nn.Dense(1, name="fc")(pooled)[..., 0]

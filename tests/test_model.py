@@ -1,0 +1,109 @@
+"""Model smoke + behavior tests on tiny shapes (CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpmatch_tpu.core.config import Config, ShapeConfig
+from fpmatch_tpu.core.build_graphs import build_edges
+from fpmatch_tpu.models.ngm import NGMNet, PairBatch
+
+
+def tiny_config():
+    return Config(shapes=ShapeConfig(n_max=12, e_max=64, t_max=32,
+                                     univ_size=16))
+
+
+def make_batch(rng, B=2, N=12, E=64, H=64, W=96, n_valid=(8, 8)):
+    images = rng.normal(size=(B, 2, H, W, 3)).astype(np.float32)
+    points = np.zeros((B, 2, N, 2), np.float32)
+    src = np.zeros((B, 2, E), np.int32)
+    dst = np.zeros((B, 2, E), np.int32)
+    n_nodes = np.zeros((B, 2), np.int32)
+    n_edges = np.zeros((B, 2), np.int32)
+    gt_perm = np.zeros((B, N, N), np.float32)
+    for b in range(B):
+        for v in range(2):
+            n = n_valid[v]
+            P = rng.uniform([5, 5], [W - 5, H - 5], size=(n, 2)).astype(np.float32)
+            _, s, d = build_edges(P, stg="tri")
+            points[b, v, :n] = P
+            src[b, v, :len(s)] = s
+            dst[b, v, :len(d)] = d
+            n_nodes[b, v] = n
+            n_edges[b, v] = len(s)
+        k = min(n_valid)
+        gt_perm[b, :k, :k] = np.eye(k)
+    label = np.ones((B,), np.float32)
+    gt_k = gt_perm.sum((1, 2)).astype(np.float32)
+    return PairBatch(*(jnp.asarray(a) for a in
+                       (images, points, n_nodes, src, dst, n_edges,
+                        gt_perm, label, gt_k)))
+
+
+@pytest.fixture(scope="module")
+def model_and_out():
+    rng = np.random.default_rng(1)
+    cfg = tiny_config()
+    batch = make_batch(rng)
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    return cfg, batch, model, variables, out
+
+
+def test_forward_shapes_finite(model_and_out):
+    cfg, batch, model, variables, out = model_and_out
+    B, N = 2, 12
+    assert out["ds_mat"].shape == (B, N, N)
+    assert out["perm_mat"].shape == (B, N, N)
+    assert out["cls_prob"].shape == (B,)
+    assert out["k_prob"].shape == (B,)
+    for k, v in out.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"non-finite in {k}"
+
+
+def test_forward_masks_respected(model_and_out):
+    cfg, batch, model, variables, out = model_and_out
+    ds = np.asarray(out["ds_mat"])
+    n1 = np.asarray(batch.n_nodes[:, 0])
+    n2 = np.asarray(batch.n_nodes[:, 1])
+    for b in range(ds.shape[0]):
+        assert np.all(ds[b, n1[b]:, :] == 0)
+        assert np.all(ds[b, :, n2[b]:] == 0)
+    k = np.asarray(out["k_prob"])
+    assert np.all((k >= 0) & (k <= 1))
+    pm = np.asarray(out["perm_mat"])
+    assert np.all(pm.sum(1) <= 1) and np.all(pm.sum(2) <= 1)
+
+
+def test_train_mode_runs_with_batchstats(model_and_out):
+    cfg, batch, model, variables, _ = model_and_out
+    out, mutated = model.apply(variables, batch, train=True,
+                               mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    assert np.isfinite(float(out["cls_loss"]))
+    assert np.isfinite(float(out["ks_loss"]))
+
+
+def test_gradients_flow(model_and_out):
+    cfg, batch, model, variables, _ = model_and_out
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"])
+        perm_loss = jnp.sum(
+            (out["ds_mat"] - batch.gt_perm) ** 2) / batch.batch_size
+        return perm_loss + out["ks_loss"] + out["cls_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # the vertex affinity (upstream of everything) must receive signal
+    ga = np.asarray(grads["vertex_aff"]["A"]["kernel"])
+    assert np.abs(ga).max() > 0
+    # the backbone gets gradient through feature alignment
+    gb = jax.tree_util.tree_leaves(grads["backbone"])
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in gb)
