@@ -1,0 +1,100 @@
+"""Headline benchmark: end-to-end matched pairs/s of the flagship NGM matcher
+on one chip, plus the association-graph SpMM edges/s microbenchmark.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+BASELINE.json's target is ">=2x reference matched-pairs/s on one chip".
+We estimate the reference's end-to-end forward at ~10 pairs/s on its A100
+setup (batch 8 taking ~0.8 s: per-sample Python loops over sparse assoc
+graphs, eager Sinkhorn iterations, host Hungarian — src/model/ngm.py:326-449),
+and report vs_baseline = pairs_per_s / (2 * 10.0) so that 1.0 == the 2x
+target. Extra fields beyond the required four give the full picture.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REF_PAIRS_PER_S_ESTIMATE = 10.0
+TARGET_MULTIPLier = 2.0
+
+
+def bench_forward(cfg, model, variables, batch, iters=20):
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    out = jax.block_until_ready(fwd(variables, batch))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(fwd(variables, batch))
+    dt = (time.perf_counter() - t0) / iters
+    return batch.batch_size / dt, out
+
+
+def bench_spmm(cfg, batch, iters=50):
+    """edges/s through the factorized assoc-graph aggregation (the hot SpMM)."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.ops.assoc import assoc_aggregate_mean
+
+    B = batch.batch_size
+    N = cfg.shapes.n_max
+    rng = np.random.default_rng(0)
+    C = 16
+    X = jnp.asarray(rng.normal(size=(B, N, N, C)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+    E = cfg.shapes.e_max
+    Ke = jnp.asarray(rng.normal(size=(B, E, E)).astype(np.float32))
+    e1m = jnp.arange(E)[None] < batch.n_edges[:, 0][:, None]
+    e2m = jnp.arange(E)[None] < batch.n_edges[:, 1][:, None]
+    kp_present = jnp.ones((B, N, N), jnp.float32)
+
+    f = jax.jit(jax.vmap(lambda x, kp, ke, s1, d1, s2, d2, m1, m2:
+                         assoc_aggregate_mean(x, kp, ke, s1, d1, s2, d2,
+                                              kp_present[0], m1, m2)))
+    args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
+            batch.dst[:, 1], e1m, e2m)
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(f(*args))
+    dt = (time.perf_counter() - t0) / iters
+    # association edges processed per call: per pair e1*e2 + n1*n2 diag
+    e1 = np.asarray(batch.n_edges[:, 0], np.int64)
+    e2 = np.asarray(batch.n_edges[:, 1], np.int64)
+    n1 = np.asarray(batch.n_nodes[:, 0], np.int64)
+    n2 = np.asarray(batch.n_nodes[:, 1], np.int64)
+    nnz = int((e1 * e2 + n1 * n2).sum())
+    return nnz / dt
+
+
+def main():
+    from fpmatch_tpu.core.config import Config
+    from fpmatch_tpu.models.ngm import NGMNet
+    from fpmatch_tpu.data.synthetic import synthetic_pair_batch
+
+    cfg = Config()
+    model = NGMNet(cfg)
+    batch = synthetic_pair_batch(cfg, batch_size=8, genuine_ratio=0.5, seed=0)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    pairs_per_s, out = bench_forward(cfg, model, variables, batch)
+    edges_per_s = bench_spmm(cfg, batch)
+
+    result = {
+        "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(
+            pairs_per_s / (TARGET_MULTIPLier * REF_PAIRS_PER_S_ESTIMATE), 2),
+        "assoc_spmm_edges_per_s": round(edges_per_s, 0),
+        "batch_size": int(batch.batch_size),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

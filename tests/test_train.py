@@ -1,0 +1,140 @@
+"""Training-layer tests: losses, metrics, optimizer partitions, train step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpmatch_tpu.core.config import Config, ShapeConfig, StageConfig, default_stages
+from fpmatch_tpu.models.ngm import NGMNet
+from fpmatch_tpu.train.losses import permutation_loss, bce_with_logits
+from fpmatch_tpu.train.state import (create_state, get_learning_rates,
+                                     set_learning_rates, param_labels)
+from fpmatch_tpu.train.step import make_train_step, make_eval_step
+from fpmatch_tpu.train.scheduler import WarmupPlateau
+from fpmatch_tpu.evaluation.metrics import (matching_accuracy,
+                                            verification_metrics)
+
+from test_model import tiny_config, make_batch
+
+
+def test_permutation_loss_reference(rng):
+    """Masked BCE sum / sum(n1) against a direct computation."""
+    B, S = 2, 6
+    pred = rng.uniform(0.05, 0.95, size=(B, S, S)).astype(np.float32)
+    gt = np.zeros((B, S, S), np.float32)
+    gt[0, :4, :4] = np.eye(4)
+    gt[1, :5, :5] = np.eye(5)
+    n1 = np.array([4, 5], np.int32)
+    n2 = np.array([4, 5], np.int32)
+    got = float(permutation_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                 jnp.asarray(n1), jnp.asarray(n2)))
+    want = 0.0
+    for b in range(B):
+        p = pred[b, :n1[b], :n2[b]]
+        g = gt[b, :n1[b], :n2[b]]
+        want += -(g * np.log(p) + (1 - g) * np.log(1 - p)).sum()
+    want /= n1.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_matching_accuracy():
+    pred = np.zeros((1, 5, 5), np.float32)
+    gt = np.zeros((1, 5, 5), np.float32)
+    pred[0, :3, :3] = np.eye(3)
+    gt[0, :4, :4] = np.eye(4)
+    acc = matching_accuracy(jnp.asarray(pred), jnp.asarray(gt),
+                            jnp.asarray([4]), jnp.asarray([4]))
+    np.testing.assert_allclose(np.asarray(acc), [0.75])
+
+
+def test_verification_metrics_sklearn_free(rng):
+    labels = np.r_[np.ones(50), np.zeros(50)]
+    scores = np.r_[rng.normal(1.0, 0.5, 50), rng.normal(-1.0, 0.5, 50)]
+    m = verification_metrics(labels, scores)
+    assert 0.9 < m["roc_auc"] <= 1.0
+    assert m["eer"] < 0.15
+    assert abs(m["far"] - m["frr"]) < 0.1
+    # sanity vs sklearn if available
+    try:
+        from sklearn.metrics import roc_auc_score
+        np.testing.assert_allclose(m["roc_auc"],
+                                   roc_auc_score(labels, scores), atol=1e-6)
+    except ImportError:
+        pass
+
+
+def test_param_partitions():
+    rng = np.random.default_rng(0)
+    cfg = tiny_config()
+    batch = make_batch(rng)
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    labels = param_labels(variables["params"])
+    flat = jax.tree_util.tree_leaves(labels)
+    assert set(flat) <= {"backbone", "main", "k", "cls"}
+    assert "afau" in variables["params"]
+    assert all(l == "k" for l in
+               jax.tree_util.tree_leaves(labels["afau"]))
+    assert all(l == "cls" for l in
+               jax.tree_util.tree_leaves(labels["match_cls"]))
+    assert all(l == "backbone" for l in
+               jax.tree_util.tree_leaves(labels["backbone"]))
+
+
+@pytest.mark.parametrize("stage_idx", [0, 1, 5])
+def test_train_step_respects_stage_freezing(stage_idx):
+    rng = np.random.default_rng(0)
+    cfg = tiny_config()
+    batch = make_batch(rng)
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    stage = default_stages()[stage_idx]
+    state = create_state(variables, stage)
+    step_fn = make_train_step(model, stage)
+    new_state, metrics = step_fn(state, batch)
+
+    def changed(tree_a, tree_b):
+        return any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                   for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                                   jax.tree_util.tree_leaves(tree_b)))
+
+    p0, p1 = state.params, new_state.params
+    assert changed(p0["afau"], p1["afau"]) == stage.train_k
+    assert changed(p0["match_cls"], p1["match_cls"]) == stage.train_cls
+    assert changed(p0["vertex_aff"], p1["vertex_aff"]) == stage.train_main
+    assert changed(p0["backbone"], p1["backbone"]) == stage.train_main
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_eval_step_and_lr_update():
+    rng = np.random.default_rng(0)
+    cfg = tiny_config()
+    batch = make_batch(rng)
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    stage = default_stages()[2]  # all partitions on
+    state = create_state(variables, stage)
+    eval_fn = make_eval_step(model, stage)
+    metrics, outputs = eval_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert outputs["cls_prob"].shape == (2,)
+
+    lrs = get_learning_rates(state.opt_state)
+    assert set(lrs) == {"backbone", "main", "k", "cls"}
+    new_opt = set_learning_rates(state.opt_state, {"main": 1e-5})
+    assert abs(get_learning_rates(new_opt)["main"] - 1e-5) < 1e-12
+    # untouched partitions keep their LR
+    assert get_learning_rates(new_opt)["k"] == lrs["k"]
+
+
+def test_warmup_plateau():
+    sched = WarmupPlateau({"main": 1e-3}, warmup_epochs=2, patience=1,
+                          factor=0.5)
+    assert sched.step(1.0)["main"] == pytest.approx(5e-4)   # warmup 1/2
+    assert sched.step(1.0)["main"] == pytest.approx(1e-3)   # warmup 2/2
+    sched.step(0.5)                                          # improves
+    sched.step(0.6)                                          # bad 1
+    lrs = sched.step(0.7)                                    # bad 2 > patience
+    assert lrs["main"] == pytest.approx(5e-4)
+    assert sched.reduced
