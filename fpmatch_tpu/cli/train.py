@@ -1,0 +1,126 @@
+"""Training CLI — the framework's `python train.py` equivalent.
+
+Usage:
+  python -m fpmatch_tpu.cli.train --data-root dataset/Synthetic \
+      --stages 1,2,3,4,5,6 --epochs 10
+  python -m fpmatch_tpu.cli.train --smoke      # tiny synthetic end-to-end run
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+import jax
+import numpy as np
+
+
+def build_loaders(cfg, data_root: str, dataset_name: str, length=None):
+    from ..data.benchmark import make_benchmark
+    from ..data.pipeline import DataLoader, PairDataset
+
+    loaders = {}
+    for sets in ("train", "val", "test"):
+        bench = make_benchmark(dataset_name, sets, root=data_root,
+                               task="classify")
+        pd = PairDataset(bench, cfg, length=length)
+        loaders[sets] = DataLoader(pd, cfg, shuffle=(sets == "train"),
+                                   drop_last=True)
+    return loaders
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train the TPU NGM matcher")
+    ap.add_argument("--data-root", default="dataset/Synthetic")
+    ap.add_argument("--dataset", default="Synthetic",
+                    choices=["Synthetic", "L3SFV2Augmented", "PolyUDBII",
+                             "PolyUDBI", "L3SF"])
+    ap.add_argument("--stages", default="1,2,3,4,5,6",
+                    help="comma-separated stage numbers to run")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override epochs per stage")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--length", type=int, default=None,
+                    help="cap training pairs per epoch")
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--n-max", type=int, default=64)
+    ap.add_argument("--e-max", type=int, default=384)
+    ap.add_argument("--univ", type=int, default=600)
+    ap.add_argument("--passes", type=int, default=3,
+                    help="loader passes per epoch (reference uses 3)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="generate a tiny synthetic dataset and run 1 epoch "
+                         "of stages 1+6 end-to-end")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s",
+                        stream=sys.stdout)
+    log = logging.getLogger("fpmatch_tpu.cli").info
+
+    from ..core.config import Config, ShapeConfig, default_stages
+    from ..models.ngm import NGMNet
+    from ..train.loop import run_curriculum, evaluate_verification
+    from ..train.state import create_state
+
+    shapes = ShapeConfig(n_max=args.n_max, e_max=args.e_max,
+                         univ_size=args.univ)
+    cfg = Config(shapes=shapes)
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          batch_size=args.batch_size))
+
+    if args.smoke:
+        import tempfile
+        from ..data.generator import generate_synthetic_dataset
+        root = tempfile.mkdtemp(prefix="fpm_smoke_") + "/Synthetic"
+        generate_synthetic_dataset(root, fingers_per_split=(6, 3, 2),
+                                   n_pores=60, seed=0, size=(320, 280))
+        args.data_root = root
+        args.length = 8
+        args.epochs = 1
+        args.passes = 1
+        args.stages = "1,6"
+        shapes = ShapeConfig(n_max=32, e_max=192, t_max=96, univ_size=64)
+        cfg = dataclasses.replace(
+            cfg, shapes=shapes,
+            data=dataclasses.replace(cfg.data, batch_size=4, num_workers=2))
+        log(f"smoke dataset at {root}")
+
+    stage_nums = [int(s) for s in args.stages.split(",")]
+    stages = []
+    for num in stage_nums:
+        st = default_stages()[num - 1]
+        if args.epochs:
+            st = dataclasses.replace(st, num_epochs=args.epochs)
+        stages.append(st)
+
+    loaders = build_loaders(cfg, args.data_root, args.dataset,
+                            length=args.length)
+
+    model = NGMNet(cfg)
+    example = next(iter(loaders["val"]))
+    log("initializing model…")
+    variables = model.init(jax.random.PRNGKey(args.seed), example,
+                           train=False)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(variables["params"]))
+    log(f"model ready: {n_params / 1e6:.1f}M params, "
+        f"devices={jax.devices()}")
+
+    state, history = run_curriculum(
+        model, variables, stages, loaders["train"], loaders["val"],
+        test_loader=loaders["test"], checkpoint_dir=args.checkpoint_dir,
+        passes_per_epoch=args.passes, log_fn=log)
+
+    report = evaluate_verification(model, state, stages[-1],
+                                   loaders["test"])
+    log(f"final test report: { {k: round(v, 4) for k, v in report.items()} }")
+    return report
+
+
+if __name__ == "__main__":
+    main()

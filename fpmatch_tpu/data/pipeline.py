@@ -1,0 +1,274 @@
+"""Pair construction + collation into fixed-shape PairBatch pytrees.
+
+Capability parity with src/gmdataset.py:51-696 (GMDataset/TestDataset/
+collate_fn/get_dataloader), redesigned for the TPU data path:
+
+  * per-sample work (augmentation, Delaunay, label bookkeeping) happens on
+    host CPU in worker threads (cv2/scipy release the GIL);
+  * the reference's collate-time scipy Kronecker products vanish entirely —
+    the factorized association ops consume raw edge lists, so collation is
+    just bucket padding + stacking;
+  * everything is driven by an explicit per-index RNG: sample i of epoch e is
+    reproducible regardless of worker scheduling.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from ..core.build_graphs import build_edges, delaunay_triangles, permute_edges
+from ..core.config import Config
+from .augmentation import (augment_image_pair, augment_two_images,
+                           standardize)
+from .benchmark import Benchmark
+
+
+def _load_image(path: str) -> np.ndarray:
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _annos_of(entry_kpts) -> List[List]:
+    return [[k["labels"], k["x"], k["y"]] for k in entry_kpts]
+
+
+@dataclass
+class PairSample:
+    """One matching problem in host (numpy, ragged) form."""
+
+    images: Tuple[np.ndarray, np.ndarray]      # (H, W, 3) uint8 RGB ×2
+    points: Tuple[np.ndarray, np.ndarray]      # (n_i, 2) float32
+    edges: Tuple[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]
+    perm: np.ndarray                           # (n1, n2)
+    label: float
+    cls: Tuple[str, str]
+
+
+class PairDataset:
+    """Index-addressable pair source over a Benchmark (match or classify)."""
+
+    def __init__(self, bench: Benchmark, cfg: Config, *,
+                 augment: Optional[bool] = None, length: Optional[int] = None,
+                 seed: int = 123):
+        self.bench = bench
+        self.cfg = cfg
+        self.seed = seed
+        self.augment = (bench.sets == "train") if augment is None else augment
+        if bench.task == "classify":
+            self.pairs = bench.classify_pairs()
+        else:
+            self.pairs = bench.match_combinations()
+        if length is not None and bench.sets != "test":
+            self.pairs = self.pairs[:length]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    # ------------------------------------------------------------------
+    def _clip_common(self, ann1, ann2, n_max):
+        """Keep at most n_max shared labels, preserving view-1 order in both
+        views so the identity assignment stays valid."""
+        common = [a[0] for a in ann1 if a[0] in {b[0] for b in ann2}]
+        keep = set(common[:n_max])
+        a1 = [a for a in ann1 if a[0] in keep]
+        order = {lab: i for i, lab in enumerate(a[0] for a in a1)}
+        a2 = sorted((b for b in ann2 if b[0] in keep),
+                    key=lambda b: order[b[0]])
+        return a1, a2
+
+    def _build_graph_pair(self, ann1, ann2, perm) -> PairSample:
+        raise NotImplementedError
+
+    def get(self, idx: int, epoch: int = 0) -> PairSample:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + epoch) * 2_000_003 + idx)
+        pair = self.pairs[idx % len(self.pairs)]
+        cfg = self.cfg
+        n_max = cfg.shapes.n_max
+        genuine = self.bench.is_genuine(*pair)
+
+        if genuine and pair[0] == pair[1]:
+            entry = self.bench.data_dict[pair[0]]
+            img = _load_image(entry["path"])
+            annos = _annos_of(entry["kpts"])
+            if self.augment:
+                (i1, a1), (i2, a2) = augment_image_pair(
+                    img, annos, rng,
+                    min_points=cfg.data.augment_min_points,
+                    min_common=cfg.data.augment_min_common,
+                    max_attempts=cfg.data.augment_max_attempts)
+            else:
+                i1, a1 = standardize(img, annos)
+                i2, a2 = standardize(img, annos)
+            a1, a2 = self._clip_common(a1, a2, n_max)
+            n = min(len(a1), len(a2))
+            perm = np.eye(n, dtype=np.float32)
+            label = 1.0
+        elif genuine:
+            # cross-impression genuine (session protocol / match task):
+            # identity is by keypoint label equality
+            e1 = self.bench.data_dict[pair[0]]
+            e2 = self.bench.data_dict[pair[1]]
+            img1, img2 = _load_image(e1["path"]), _load_image(e2["path"])
+            an1, an2 = _annos_of(e1["kpts"]), _annos_of(e2["kpts"])
+            if self.augment:
+                (i1, a1), (i2, a2) = augment_two_images(
+                    img1, an1, img2, an2, rng,
+                    min_points=cfg.data.augment_min_points)
+            else:
+                i1, a1 = standardize(img1, an1)
+                i2, a2 = standardize(img2, an2)
+            a1 = a1[:n_max]
+            a2 = a2[:n_max]
+            lab2 = {lab: j for j, (lab, _, _) in enumerate(a2)}
+            perm = np.zeros((len(a1), len(a2)), np.float32)
+            for i, (lab, _, _) in enumerate(a1):
+                j = lab2.get(lab)
+                if j is not None:
+                    perm[i, j] = 1
+            label = 1.0
+        else:
+            e1 = self.bench.data_dict[pair[0]]
+            e2 = self.bench.data_dict[pair[1]]
+            img1, img2 = _load_image(e1["path"]), _load_image(e2["path"])
+            an1, an2 = _annos_of(e1["kpts"]), _annos_of(e2["kpts"])
+            if self.augment:
+                (i1, a1), (i2, a2) = augment_two_images(
+                    img1, an1, img2, an2, rng,
+                    min_points=cfg.data.augment_min_points)
+            else:
+                i1, a1 = standardize(img1, an1)
+                i2, a2 = standardize(img2, an2)
+            a1 = a1[:n_max]
+            a2 = a2[:n_max]
+            perm = np.zeros((len(a1), len(a2)), np.float32)
+            label = 0.0
+
+        P1 = np.array([[x, y] for _, x, y in a1], np.float32).reshape(-1, 2)
+        P2 = np.array([[x, y] for _, x, y in a2], np.float32).reshape(-1, 2)
+
+        stg = cfg.data.src_graph_construct
+        _, s1, d1 = build_edges(P1, stg=stg)
+        if cfg.data.tgt_graph_construct == "same" and perm.sum() > 0:
+            s2, d2 = permute_edges(s1, d1, perm)       # G2 = Pᵀ·G1
+        else:
+            _, s2, d2 = build_edges(P2, stg=stg)
+        e_max = cfg.shapes.e_max
+        s1, d1 = s1[:e_max], d1[:e_max]
+        s2, d2 = s2[:e_max], d2[:e_max]
+
+        return PairSample(images=(i1, i2), points=(P1, P2),
+                          edges=((s1, d1), (s2, d2)), perm=perm,
+                          label=label,
+                          cls=(self.bench.data_dict[pair[0]]["cls"],
+                               self.bench.data_dict[pair[1]]["cls"]))
+
+
+# ---------------------------------------------------------------- collation
+
+def collate(samples: Sequence[PairSample], cfg: Config):
+    """Pad + stack host samples into a PairBatch (device-ready numpy)."""
+    from ..models.ngm import PairBatch
+    import jax.numpy as jnp
+
+    B = len(samples)
+    N, E = cfg.shapes.n_max, cfg.shapes.e_max
+    H, W = cfg.data.rescale[1], cfg.data.rescale[0]
+    means = np.asarray(cfg.data.norm_means, np.float32)
+    stds = np.asarray(cfg.data.norm_std, np.float32)
+
+    images = np.zeros((B, 2, H, W, 3), np.float32)
+    points = np.zeros((B, 2, N, 2), np.float32)
+    src = np.zeros((B, 2, E), np.int32)
+    dst = np.zeros((B, 2, E), np.int32)
+    n_nodes = np.zeros((B, 2), np.int32)
+    n_edges = np.zeros((B, 2), np.int32)
+    gt_perm = np.zeros((B, N, N), np.float32)
+    label = np.zeros((B,), np.float32)
+
+    for b, s in enumerate(samples):
+        for v in range(2):
+            img = s.images[v].astype(np.float32) / 255.0
+            img = (img - means) / stds
+            images[b, v, :img.shape[0], :img.shape[1]] = img[:H, :W]
+            P = s.points[v][:N]
+            points[b, v, :len(P)] = P
+            n_nodes[b, v] = len(P)
+            sv, dv = s.edges[v]
+            src[b, v, :len(sv)] = sv
+            dst[b, v, :len(dv)] = dv
+            n_edges[b, v] = len(sv)
+        p = s.perm[:N, :N]
+        gt_perm[b, :p.shape[0], :p.shape[1]] = p
+        label[b] = s.label
+
+    return PairBatch(*(jnp.asarray(a) for a in (
+        images, points, n_nodes, src, dst, n_edges, gt_perm, label,
+        gt_perm.sum((1, 2)).astype(np.float32))))
+
+
+class DataLoader:
+    """Seed-deterministic prefetching loader (replaces torch DataLoader +
+    worker_init seeding, gmdataset.py:675-696)."""
+
+    def __init__(self, dataset: PairDataset, cfg: Config, *,
+                 batch_size: Optional[int] = None, shuffle: bool = False,
+                 num_workers: Optional[int] = None, drop_last: bool = True):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.data.batch_size
+        self.shuffle = shuffle
+        self.num_workers = (cfg.data.num_workers if num_workers is None
+                            else num_workers)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.cfg.data.random_seed
+                                  + self.epoch).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        epoch = self.epoch
+        self.epoch += 1
+
+        if self.num_workers <= 1:
+            for idxs in batches:
+                yield collate([self.dataset.get(int(i), epoch)
+                               for i in idxs], self.cfg)
+            return
+
+        pool = self._pool()
+        pending = []
+        for idxs in batches:
+            futs = [pool.submit(self.dataset.get, int(i), epoch)
+                    for i in idxs]
+            pending.append(futs)
+            # keep ~2 batches in flight
+            while len(pending) > 2:
+                done = pending.pop(0)
+                yield collate([f.result() for f in done], self.cfg)
+        for done in pending:
+            yield collate([f.result() for f in done], self.cfg)
+
+    def _pool(self) -> ThreadPoolExecutor:
+        # one long-lived pool per loader: avoids per-epoch churn and the
+        # generator-GC-during-shutdown TypeError of a with-block across yields
+        if getattr(self, "_executor", None) is None:
+            self._executor = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._executor

@@ -74,8 +74,12 @@ def soft_topk(scores: jnp.ndarray, k, n1, n2, *, tau: float = 1.0,
 
     log_s = jnp.where(valid[..., None], dist / tau, NEG_INF)
     k = jnp.clip(k, 0.0, total)
+    # clamp the marginals away from 0: log(0) = -inf poisons the backward
+    # pass (0·inf → NaN) when k == 0 (imposter pairs train with gt_k = 0) or
+    # k == total; exp(-46) underflows to 0 so forward behaviour is unchanged,
+    # and the exact zero/one cases are restored by the postmask below.
     log_col_prob = jnp.log(jnp.maximum(
-        jnp.stack([total - k, k]), 0.0))                # -inf when k==0/total
+        jnp.stack([total - k, k]), 1e-20))
 
     def step(i, ls):
         return jax.lax.cond(
@@ -101,6 +105,7 @@ def soft_topk(scores: jnp.ndarray, k, n1, n2, *, tau: float = 1.0,
     log_s = jax.lax.fori_loop(0, extra_iter, extra, log_s)
 
     out = jnp.exp(log_s[..., 1])
+    out = jnp.where(k > 0, out, 0.0)   # exact zero map when k == 0
     return jnp.where(valid, out, 0.0)
 
 

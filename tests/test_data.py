@@ -1,0 +1,131 @@
+"""Data pipeline tests: generator → dataset index → benchmark pairs →
+augmentation → PairBatch collation; determinism."""
+import numpy as np
+import pytest
+
+from fpmatch_tpu.core.config import Config, ShapeConfig
+from fpmatch_tpu.data.generator import generate_synthetic_dataset, render_fingerprint
+from fpmatch_tpu.data.dataset import L3SFV2AugmentedDataset
+from fpmatch_tpu.data.benchmark import Benchmark, make_benchmark
+from fpmatch_tpu.data.pipeline import PairDataset, DataLoader, collate
+from fpmatch_tpu.data.augmentation import (augment_image, augment_image_pair,
+                                           standardize, TRANSFORMS)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth") / "Synthetic"
+    generate_synthetic_dataset(str(root), fingers_per_split=(6, 3, 2),
+                               n_pores=60, seed=1, size=(240, 200))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(shapes=ShapeConfig(n_max=48, e_max=288, t_max=96,
+                                     univ_size=64))
+
+
+def test_generator_output(synth_root):
+    import os
+    for r in ("R1", "R2", "R3", "R4", "R5"):
+        assert os.path.isdir(os.path.join(synth_root, r))
+    img, pores = render_fingerprint(0, size=(240, 200), n_pores=50)
+    assert img.shape == (240, 200) and img.dtype == np.uint8
+    assert 20 <= len(pores) <= 50
+    # pores within bounds
+    assert (pores[:, 0] < 200).all() and (pores[:, 1] < 240).all()
+    # determinism
+    img2, pores2 = render_fingerprint(0, size=(240, 200), n_pores=50)
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_dataset_index(synth_root, tmp_path):
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx"))
+    idx = ds.load_index()
+    assert len(idx) == 6
+    entry = next(iter(idx.values()))
+    assert {"path", "cls", "kpts", "univ_size"} <= set(entry)
+    assert entry["univ_size"] > 10
+    kp = entry["kpts"][0]
+    assert {"labels", "x", "y"} <= set(kp)
+
+
+def test_benchmark_pairs(synth_root, tmp_path):
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx2"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pairs = bench.classify_pairs()
+    genuine = [p for p in pairs if bench.is_genuine(*p)]
+    imposter = [p for p in pairs if not bench.is_genuine(*p)]
+    assert len(genuine) == len(imposter) > 0          # train-mode balancing
+    assert all(a == b for a, b in genuine)            # self-pair protocol
+
+
+def test_augmentation_keypoint_consistency():
+    rng = np.random.default_rng(0)
+    img, pores = render_fingerprint(3, size=(240, 200), n_pores=60)
+    img3 = np.stack([img] * 3, -1)
+    annos = [[f"p{i}", float(x), float(y)] for i, (x, y) in enumerate(pores)]
+    for name in TRANSFORMS:
+        out, ann = TRANSFORMS[name](img3.copy(), list(annos), rng)
+        assert out is not None and len(ann) > 0
+        for lab, x, y in ann:
+            assert 0 <= x < out.shape[1] + 1 and 0 <= y < out.shape[0] + 1
+    aug_img, aug_ann = augment_image(img3, annos, rng, min_points=5)
+    assert len(aug_ann) >= 5
+    assert aug_img.shape[:2] == (240, 320)
+
+
+def test_pair_dataset_and_loader(synth_root, tmp_path, cfg):
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx3"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=True)
+    s = pd.get(0)
+    assert s.images[0].shape[:2] == (240, 320)
+    n1, n2 = len(s.points[0]), len(s.points[1])
+    assert s.perm.shape == (n1, n2)
+    if s.label == 1.0:
+        assert np.trace(s.perm) == min(n1, n2)
+
+    loader = DataLoader(pd, cfg, batch_size=4, shuffle=True, num_workers=2)
+    batch = next(iter(loader))
+    assert batch.images.shape == (4, 2, 240, 320, 3)
+    assert batch.points.shape == (4, 2, 48, 2)
+    assert batch.gt_perm.shape == (4, 48, 48)
+    assert np.asarray(batch.n_nodes).max() <= 48
+    assert np.asarray(batch.n_edges).max() <= 288
+    # labels present in both classes over a couple of batches
+    labels = np.asarray(batch.label)
+    assert set(np.unique(labels)) <= {0.0, 1.0}
+
+
+def test_pipeline_determinism(synth_root, tmp_path, cfg):
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx4"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=True, seed=7)
+    a = pd.get(3, epoch=2)
+    b = pd.get(3, epoch=2)
+    np.testing.assert_array_equal(a.images[0], b.images[0])
+    np.testing.assert_array_equal(a.points[1], b.points[1])
+    c = pd.get(3, epoch=3)
+    assert not np.array_equal(a.images[0], c.images[0])  # epoch varies
+
+
+def test_imposter_pair_zero_perm(synth_root, tmp_path, cfg):
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx5"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=False)
+    imposter_idx = next(i for i, p in enumerate(pd.pairs)
+                        if not bench.is_genuine(*p))
+    s = pd.get(imposter_idx)
+    assert s.label == 0.0
+    assert s.perm.sum() == 0

@@ -33,9 +33,12 @@ def make_batch(rng, B=2, N=12, E=64, H=64, W=96, n_valid=(8, 8)):
             dst[b, v, :len(d)] = d
             n_nodes[b, v] = n
             n_edges[b, v] = len(s)
-        k = min(n_valid)
-        gt_perm[b, :k, :k] = np.eye(k)
-    label = np.ones((B,), np.float32)
+        if b % 2 == 0:
+            k = min(n_valid)
+            gt_perm[b, :k, :k] = np.eye(k)
+        # odd samples stay imposters (zero perm, gt_k = 0) so the k=0 path
+        # through soft-topk is exercised in every gradient test
+    label = (np.arange(B) % 2 == 0).astype(np.float32)
     gt_k = gt_perm.sum((1, 2)).astype(np.float32)
     return PairBatch(*(jnp.asarray(a) for a in
                        (images, points, n_nodes, src, dst, n_edges,
