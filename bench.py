@@ -51,11 +51,12 @@ def bench_spmm(cfg, batch, iters=50):
     e2m = jnp.arange(E)[None] < batch.n_edges[:, 1][:, None]
     kp_present = jnp.ones((B, N, N), jnp.float32)
 
-    f = jax.jit(jax.vmap(lambda x, kp, ke, s1, d1, s2, d2, m1, m2:
-                         assoc_aggregate_mean(x, kp, ke, s1, d1, s2, d2,
-                                              kp_present[0], m1, m2)))
+    # NOTE: every operand must be vmap-mapped — a closure-captured (unmapped)
+    # array forces XLA to lower the batched scatter to a serialized form,
+    # ~300x slower (measured 27 ms vs 0.1 ms).
+    f = jax.jit(jax.vmap(assoc_aggregate_mean))
     args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
-            batch.dst[:, 1], e1m, e2m)
+            batch.dst[:, 1], kp_present, e1m, e2m)
     jax.block_until_ready(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):

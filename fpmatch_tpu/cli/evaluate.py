@@ -1,0 +1,175 @@
+"""Verification evaluation CLI — parity with evaluate_binary_classifier.py.
+
+Loads a trained checkpoint, runs the test split's genuine/imposter pairs,
+computes the EER-threshold metric suite, and writes the artifact set the
+reference produces (evaluate_binary_classifier.py:161-349): metrics.csv,
+eval.log, ROC/PR curve plots, k-prediction histograms, and example match
+visualizations.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Evaluate verification EER/ROC")
+    ap.add_argument("--data-root", default="dataset/Synthetic")
+    ap.add_argument("--dataset", default="Synthetic",
+                    choices=["Synthetic", "L3SFV2Augmented", "PolyUDBII",
+                             "PolyUDBI", "L3SF"])
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint name (default: latest from meta)")
+    ap.add_argument("--output-dir", default="results/binary-classifier")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--n-max", type=int, default=64)
+    ap.add_argument("--e-max", type=int, default=384)
+    ap.add_argument("--univ", type=int, default=600)
+    ap.add_argument("--num-viz", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(message)s",
+        handlers=[logging.StreamHandler(sys.stdout),
+                  logging.FileHandler(os.path.join(args.output_dir,
+                                                   "eval.log"))])
+    log = logging.getLogger("fpmatch_tpu.eval").info
+
+    import dataclasses
+    from ..core.config import Config, ShapeConfig, default_stages
+    from ..data.benchmark import make_benchmark
+    from ..data.pipeline import DataLoader, PairDataset
+    from ..evaluation.metrics import (pr_curve, roc_curve,
+                                      verification_metrics)
+    from ..models.ngm import NGMNet
+    from ..train.checkpoints import read_meta, restore_params
+    from ..train.state import create_state
+    from ..train.step import make_eval_step
+
+    cfg = Config(shapes=ShapeConfig(n_max=args.n_max, e_max=args.e_max,
+                                    univ_size=args.univ))
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+
+    bench = make_benchmark(args.dataset, "test", root=args.data_root,
+                           task="classify")
+    pd = PairDataset(bench, cfg, augment=False)
+    loader = DataLoader(pd, cfg, drop_last=False)
+    log(f"test pairs: {len(pd)}")
+
+    model = NGMNet(cfg)
+    example = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+
+    stage = default_stages()[-1]
+    state = create_state(variables, stage)
+    meta = read_meta(args.checkpoint_dir)
+    ckpt_name = args.checkpoint or meta.get("latest")
+    if ckpt_name:
+        restored = restore_params(args.checkpoint_dir, ckpt_name, state)
+        state = state._replace(params=restored["params"],
+                               batch_stats=restored["batch_stats"])
+        log(f"restored checkpoint {ckpt_name}")
+    else:
+        log("WARNING: no checkpoint found — evaluating random weights")
+
+    eval_step = make_eval_step(model, stage)
+    labels, scores, k_probs, n_mins = [], [], [], []
+    viz_saved = 0
+    for batch in loader:
+        _, out = eval_step(state, batch)
+        labels.append(np.asarray(batch.label))
+        scores.append(np.asarray(out["cls_prob"]))
+        k_probs.append(np.asarray(out["k_prob"]))
+        n_mins.append(np.asarray(batch.n_nodes).min(axis=1))
+        if viz_saved < args.num_viz:
+            viz_saved += save_match_viz(batch, out, args.output_dir,
+                                        viz_saved, args.num_viz)
+    labels = np.concatenate(labels)
+    scores = np.concatenate(scores)
+    k_probs = np.concatenate(k_probs)
+
+    report = verification_metrics(labels, scores)
+    log(f"report: { {k: round(v, 5) for k, v in report.items()} }")
+
+    # metrics.csv (same column set as the reference artifact)
+    csv_path = os.path.join(args.output_dir, "metrics.csv")
+    cols = ["accuracy", "precision", "recall", "f1", "roc_auc", "pr_auc",
+            "far", "frr", "eer", "threshold"]
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        w.writerow([report[c] for c in cols])
+    log(f"wrote {csv_path}")
+
+    plot_curves(labels, scores, k_probs, args.output_dir)
+    return report
+
+
+def plot_curves(labels, scores, k_probs, output_dir):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..evaluation.metrics import pr_curve, roc_curve
+
+    fpr, tpr, _ = roc_curve(labels, scores)
+    plt.figure(figsize=(5, 5))
+    plt.plot(fpr, tpr)
+    plt.plot([0, 1], [0, 1], "--", alpha=0.4)
+    plt.xlabel("FPR")
+    plt.ylabel("TPR")
+    plt.title("ROC")
+    plt.savefig(os.path.join(output_dir, "roc_curve.png"), dpi=120)
+    plt.close()
+
+    p, r = pr_curve(labels, scores)
+    plt.figure(figsize=(5, 5))
+    plt.plot(r, p)
+    plt.xlabel("Recall")
+    plt.ylabel("Precision")
+    plt.title("PR")
+    plt.savefig(os.path.join(output_dir, "pr_curve.png"), dpi=120)
+    plt.close()
+
+    plt.figure(figsize=(6, 4))
+    for val, name in ((1.0, "genuine"), (0.0, "imposter")):
+        sel = labels == val
+        if sel.any():
+            plt.hist(k_probs[sel], bins=20, alpha=0.6, label=name)
+    plt.xlabel("predicted k fraction")
+    plt.legend()
+    plt.savefig(os.path.join(output_dir, "k_histogram.png"), dpi=120)
+    plt.close()
+
+
+def save_match_viz(batch, out, output_dir, start_idx, max_viz) -> int:
+    """Render keypoint match lines for a few pairs (utils/visualize.py
+    equivalent on the padded batch)."""
+    from ..utils.visualize import visualize_match
+    import numpy as np
+
+    saved = 0
+    B = int(np.asarray(batch.label).shape[0])
+    for b in range(min(B, max_viz - start_idx)):
+        path = os.path.join(output_dir,
+                            f"match_{start_idx + saved:02d}.png")
+        visualize_match(
+            np.asarray(batch.images[b]), np.asarray(batch.points[b]),
+            np.asarray(batch.n_nodes[b]), np.asarray(out["perm_mat"][b]),
+            float(np.asarray(batch.label[b])),
+            float(np.asarray(out["cls_prob"][b])), path)
+        saved += 1
+    return saved
+
+
+if __name__ == "__main__":
+    main()
