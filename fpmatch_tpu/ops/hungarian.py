@@ -1,32 +1,35 @@
 """Hungarian assignment via host callback.
 
 The reference keeps the LAP solve on CPU too (utils/hungarian.py:8-65, scipy
-`linear_sum_assignment` with optional process fan-out); under XLA we bridge
-through `jax.pure_callback`, batched on the host, keeping the device pipeline
-static-shaped. Non-differentiable by construction (the reference's is too).
+`linear_sum_assignment` with a multiprocessing pool); here the host solve is
+the native OpenMP-batched LAPJV solver (fpmatch_tpu.native, scipy fallback),
+bridged through `jax.pure_callback` where the backend supports it. The axon
+TPU runtime rejects host callbacks, so on TPU call `hungarian_host` directly
+between jit segments. Non-differentiable by construction (the reference's is
+too).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+
+from .. import native
 
 
 def _hungarian_host(scores: np.ndarray, n1: np.ndarray, n2: np.ndarray
                     ) -> np.ndarray:
     scores = np.asarray(scores, dtype=np.float32)
-    out = np.zeros_like(scores)
     if scores.ndim == 2:
-        scores, n1, n2 = scores[None], np.atleast_1d(n1), np.atleast_1d(n2)
-        out = out[None]
-    for b in range(scores.shape[0]):
-        a, c = int(n1[b]), int(n2[b])
-        if a == 0 or c == 0:
-            continue
-        r, col = linear_sum_assignment(-scores[b, :a, :c])
-        out[b, r, col] = 1.0
-    return out
+        return native.lap_maximize_batch(scores[None], np.atleast_1d(n1),
+                                         np.atleast_1d(n2))
+    return native.lap_maximize_batch(scores, np.asarray(n1), np.asarray(n2))
+
+
+def hungarian_host(scores, n1, n2) -> np.ndarray:
+    """Direct host-side entry (for TPU paths where callbacks are banned)."""
+    return _hungarian_host(np.asarray(scores), np.asarray(n1),
+                           np.asarray(n2))
 
 
 def hungarian(scores: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray

@@ -59,7 +59,10 @@ def detect_pores_in_image(model, variables, image: np.ndarray, *,
     ys, xs = np.nonzero(pmap >= probability)
     scores = pmap[ys, xs]
     coords = np.stack([ys, xs], axis=1)
-    keep = nms_boxes(coords, scores, box_size or window, nms_iou)
+    from .. import native
+    keep = native.nms_fixed_boxes(coords.astype(np.int32),
+                                  scores.astype(np.float32),
+                                  box_size or window, nms_iou)
     half = window // 2
     # map-cell (y, x) + half = pore center in input-image space
     out = np.stack([xs[keep] + half, ys[keep] + half], axis=1).astype(np.float32)
