@@ -100,7 +100,13 @@ class FingerprintDataset:
         return out
 
     def index_path(self) -> Path:
-        return self.output_dir / f"{self.sets}-{self.obj_resize}.json"
+        # the root participates in the cache key: two datasets with the same
+        # name but different roots (e.g. smoke temp dirs) must never collide
+        import hashlib
+        root_tag = hashlib.sha1(
+            str(self.root.resolve()).encode()).hexdigest()[:8]
+        return (self.output_dir
+                / f"{self.sets}-{self.obj_resize}-{root_tag}.json")
 
     def build_index(self, force: bool = False) -> Path:
         """Create the JSON annotation index (idempotent; `to_json` parity,
