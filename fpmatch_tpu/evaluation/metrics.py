@@ -141,3 +141,51 @@ def verification_metrics(labels: np.ndarray, scores: np.ndarray
         "roc_auc": auc(fpr, tpr), "pr_auc": pr_auc(labels, scores),
         "far": far, "frr": frr, "eer": eer_val, "threshold": thr,
     }
+
+
+# ---------------------------------------------------- clustering metrics
+# (evaluation_metric.py:281-435 — used by the reference's multi-graph
+# clustering experiments)
+
+def clustering_accuracy(pred_labels: np.ndarray, gt_labels: np.ndarray
+                        ) -> float:
+    """Best-permutation clustering accuracy via LAP over the confusion
+    matrix."""
+    pred_labels = np.asarray(pred_labels)
+    gt_labels = np.asarray(gt_labels)
+    pu = np.unique(pred_labels)
+    gu = np.unique(gt_labels)
+    conf = np.zeros((len(pu), len(gu)))
+    for i, p in enumerate(pu):
+        for j, g in enumerate(gu):
+            conf[i, j] = np.sum((pred_labels == p) & (gt_labels == g))
+    from ..native import lap_maximize_batch
+    n = max(len(pu), len(gu))
+    out = lap_maximize_batch(conf[None].astype(np.float32),
+                             np.array([len(pu)]), np.array([len(gu)]))
+    return float((out[0] * conf).sum() / len(gt_labels))
+
+
+def rand_index(pred_labels: np.ndarray, gt_labels: np.ndarray) -> float:
+    """Rand index between two label assignments."""
+    pred_labels = np.asarray(pred_labels)
+    gt_labels = np.asarray(gt_labels)
+    n = len(pred_labels)
+    same_p = pred_labels[:, None] == pred_labels[None, :]
+    same_g = gt_labels[:, None] == gt_labels[None, :]
+    agree = (same_p == same_g)
+    iu = np.triu_indices(n, k=1)
+    return float(agree[iu].mean()) if n > 1 else 1.0
+
+
+def clustering_purity(pred_labels: np.ndarray, gt_labels: np.ndarray
+                      ) -> float:
+    pred_labels = np.asarray(pred_labels)
+    gt_labels = np.asarray(gt_labels)
+    total = 0
+    for p in np.unique(pred_labels):
+        members = gt_labels[pred_labels == p]
+        if len(members):
+            _, counts = np.unique(members, return_counts=True)
+            total += counts.max()
+    return float(total / len(gt_labels))

@@ -78,3 +78,20 @@ def sinkhorn_batch(s, n1, n2, *, tau=1.0, max_iter=10, dummy_row=True):
     """vmapped sinkhorn over a leading batch axis."""
     fn = partial(sinkhorn, tau=tau, max_iter=max_iter, dummy_row=dummy_row)
     return jax.vmap(fn)(s, n1, n2)
+
+
+def gumbel_sinkhorn(key, s, n1, n2, *, tau=1.0, max_iter=10, sample_num=5,
+                    dummy_row=True):
+    """Gumbel-Sinkhorn sampling (reference src/model/sinkhorn.py:172-235,
+    Mena et al. ICLR'18): adds i.i.d. Gumbel noise to the scores and runs the
+    masked Sinkhorn per sample. Returns (sample_num, S1, S2)."""
+    import jax
+
+    def sample(k):
+        u = jax.random.uniform(k, s.shape, minval=1e-20, maxval=1.0)
+        g = -jnp.log(-jnp.log(u))
+        return sinkhorn(s + g, n1, n2, tau=tau, max_iter=max_iter,
+                        dummy_row=dummy_row)
+
+    keys = jax.random.split(key, sample_num)
+    return jax.vmap(sample)(keys)

@@ -52,7 +52,8 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
                 checkpoint_dir: Optional[str] = None,
                 passes_per_epoch: int = 3, eval_every: int = 5,
                 early_stop_patience: int = 10,
-                log_fn: Callable[[str], None] = logger.info):
+                log_fn: Callable[[str], None] = logger.info,
+                metrics_logger=None):
     """Run one curriculum stage; returns (state, history)."""
     train_step = make_train_step(model, stage)
     eval_step = make_eval_step(model, stage)
@@ -106,6 +107,10 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
                **{f"train_{k}": v for k, v in train_metrics.items()},
                **{f"val_{k}": v for k, v in val_metrics.items()}}
         history.append(row)
+        if metrics_logger is not None:
+            metrics_logger.log_scalars(
+                epoch, {k: v for k, v in row.items() if k != "epoch"},
+                prefix=f"{stage.name}/")
         log_fn(f"[{stage.name}] epoch {epoch}: "
                f"train_loss={train_metrics.get('total_loss', 0):.4f} "
                f"val_loss={val_loss:.4f} "
@@ -131,7 +136,7 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
 
 def run_curriculum(model: NGMNet, variables, stages, train_loader, val_loader,
                    *, test_loader=None, checkpoint_dir: Optional[str] = None,
-                   **kw):
+                   metrics_logger=None, **kw):
     """Run the full multi-stage curriculum with warm starts between stages."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -146,7 +151,8 @@ def run_curriculum(model: NGMNet, variables, stages, train_loader, val_loader,
                 batch_stats=state.batch_stats)
         state, hist = train_stage(model, new_state, stage, train_loader,
                                   val_loader, test_loader=test_loader,
-                                  checkpoint_dir=checkpoint_dir, **kw)
+                                  checkpoint_dir=checkpoint_dir,
+                                  metrics_logger=metrics_logger, **kw)
         params, batch_stats = state.params, state.batch_stats
         all_history[stage.name] = hist
     return state, all_history

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 
 from ..ops.masking import rect_mask
 
-EPS = 1e-8
+# NB: must be representable against 1.0 in fp32 — with eps below machine
+# epsilon (1.19e-7), clip(p, EPS, 1-EPS) is a no-op at the top end and a
+# fully-converged assignment cell (p == 1.0 exactly) makes the BCE compute
+# (1-g)·log(1-p) = 0·(-inf) = NaN. Found on TPU with real training data.
+EPS = 1e-7
 
 
 def _valid_mask(ns1, ns2, s1, s2):
@@ -25,7 +29,7 @@ def permutation_loss(pred_dsmat, gt_perm, ns1, ns2):
     b, s1, s2 = pred_dsmat.shape
     m = _valid_mask(ns1, ns2, s1, s2)
     p = jnp.clip(pred_dsmat, EPS, 1.0 - EPS)
-    ce = -(gt_perm * jnp.log(p) + (1.0 - gt_perm) * jnp.log(1.0 - p))
+    ce = -(gt_perm * jnp.log(p) + (1.0 - gt_perm) * jnp.log1p(-p))
     total = jnp.sum(jnp.where(m, ce, 0.0))
     return total / jnp.maximum(jnp.sum(ns1).astype(pred_dsmat.dtype), 1.0)
 
@@ -49,7 +53,7 @@ def focal_loss(pred_dsmat, gt_perm, ns1, ns2, gamma: float = 0.0,
     m = _valid_mask(ns1, ns2, s1, s2)
     p = jnp.clip(pred_dsmat, EPS, 1.0 - EPS)
     pos = -alpha * ((1 - p) ** gamma) * gt_perm * jnp.log(p)
-    neg = -(1 - alpha) * (p ** gamma) * (1 - gt_perm) * jnp.log(1 - p)
+    neg = -(1 - alpha) * (p ** gamma) * (1 - gt_perm) * jnp.log1p(-p)
     total = jnp.sum(jnp.where(m, pos + neg, 0.0))
     return total / jnp.maximum(jnp.sum(ns1).astype(pred_dsmat.dtype), 1.0)
 
@@ -86,3 +90,32 @@ def bce_with_logits(logits, labels):
     """Numerically-stable binary cross entropy on logits (mean)."""
     return jnp.mean(jnp.maximum(logits, 0) - logits * labels
                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def distill_infonce(feat_student, feat_teacher, ns, tau: float = 0.07):
+    """InfoNCE distillation between per-node embeddings of two models
+    (loss_func.py:387+ Distill_InfoNCE): positives are same-node pairs,
+    negatives all other valid nodes."""
+    n = feat_student.shape[0]
+    mask = jnp.arange(n) < ns
+    fs = feat_student / jnp.maximum(
+        jnp.linalg.norm(feat_student, axis=-1, keepdims=True), 1e-8)
+    ft = feat_teacher / jnp.maximum(
+        jnp.linalg.norm(feat_teacher, axis=-1, keepdims=True), 1e-8)
+    logits = fs @ ft.T / tau
+    logits = jnp.where(mask[None, :], logits, -1e9)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    pos = jnp.diagonal(logp)
+    return -jnp.sum(jnp.where(mask, pos, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1.0)
+
+
+def distill_quadratic_contrast(sim_student, sim_teacher, ns1, ns2):
+    """Quadratic-contrast distillation on similarity matrices
+    (loss_func.py Distill_QuadraticContrast): match the teacher's pairwise
+    similarity structure in the least-squares sense over valid cells."""
+    b, s1, s2 = sim_student.shape
+    m = _valid_mask(ns1, ns2, s1, s2)
+    d = (sim_student - jax.lax.stop_gradient(sim_teacher)) ** 2
+    return jnp.sum(jnp.where(m, d, 0.0)) / jnp.maximum(
+        jnp.sum(m.astype(sim_student.dtype)), 1.0)

@@ -138,3 +138,14 @@ def test_warmup_plateau():
     lrs = sched.step(0.7)                                    # bad 2 > patience
     assert lrs["main"] == pytest.approx(5e-4)
     assert sched.reduced
+
+
+def test_permutation_loss_finite_at_perfect_prediction():
+    """fp32 edge: p == 1.0 exactly at a gt=1 cell must not NaN (0·log 0).
+    Regression for the TPU training NaN at step 32 of the first real run."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(np.array([[[1.0, 0.0], [0.0, 1.0]]], np.float32))
+    g = p
+    l = float(permutation_loss(p, g, jnp.asarray([2]), jnp.asarray([2])))
+    assert np.isfinite(l) and l < 1e-5
