@@ -85,11 +85,16 @@ class NGMNet(nn.Module):
         rescale_max = float(max(self.cfg.data.rescale))
 
         # ---- backbone over all images at once (MXU batch) ----------------
-        imgs = batch.images.reshape(B * 2, H, W, 3)
+        # compute dtype from config: bfloat16 doubles MXU throughput and
+        # halves HBM traffic; params and everything downstream stay fp32
+        bb_dtype = jnp.bfloat16 if self.cfg.backbone.dtype == "bfloat16" \
+            else jnp.float32
+        imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
         nodes_map, edges_map, global_feat = ResNet18Backbone(
-            name="backbone")(imgs, train=train)
-        nodes_map = normalize_over_channels(nodes_map)
-        edges_map = normalize_over_channels(edges_map)
+            dtype=bb_dtype, name="backbone")(imgs, train=train)
+        nodes_map = normalize_over_channels(nodes_map.astype(jnp.float32))
+        edges_map = normalize_over_channels(edges_map.astype(jnp.float32))
+        global_feat = global_feat.astype(jnp.float32)
 
         # ---- bilinear alignment at keypoints -----------------------------
         pts = batch.points.reshape(B * 2, N, 2)
