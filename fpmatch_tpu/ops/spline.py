@@ -97,3 +97,29 @@ def edge_pseudo_coords(points: jnp.ndarray, src, dst,
     (reference gmdataset.py:173: 0.5·(P_i − P_j)/rescale + 0.5, clipped)."""
     diff = 0.5 * (points[src] - points[dst]) / rescale + 0.5
     return jnp.clip(diff, 0.0, 1.0)
+
+
+def hyperedge_angle_attrs(x: jnp.ndarray, tri: jnp.ndarray,
+                          tri_mask: jnp.ndarray) -> jnp.ndarray:
+    """Triangle-angle hyperedge attributes (reference
+    spline_conv.py:83-100 vertex_attr_to_hyperedge_attr): for each triangle
+    (i, j, k), the cosines of the three corner angles in feature space.
+
+    :param x: (N, F) node features; tri: (T, 3) indices; tri_mask: (T,)
+    :return: (T, 3) cosine features, zero on padded slots
+    """
+    a = x[tri[:, 0]]
+    b = x[tri[:, 1]]
+    c = x[tri[:, 2]]
+    v01 = a - b
+    v02 = a - c
+    v12 = b - c
+
+    def norm(v):
+        return jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-8)
+
+    cos1 = jnp.sum(v01 * v02, -1) / (norm(v01) * norm(v02))
+    cos2 = jnp.sum(-v01 * v12, -1) / (norm(v01) * norm(v12))
+    cos3 = jnp.sum(v12 * v02, -1) / (norm(v12) * norm(v02))
+    out = jnp.stack([cos1, cos2, cos3], axis=-1)
+    return out * tri_mask[:, None]
