@@ -325,3 +325,19 @@ def test_hungarian(rng):
         want = np.zeros((S, S), np.float32)
         want[r, c] = 1
         np.testing.assert_array_equal(out[b], want)
+
+
+def test_hyperedge_angle_attrs(rng):
+    from fpmatch_tpu.ops.spline import hyperedge_angle_attrs
+    x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    tri = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5], [0, 0, 0]], np.int32))
+    mask = jnp.asarray(np.array([True, True, False]))
+    out = np.asarray(hyperedge_angle_attrs(x, tri, mask))
+    assert out.shape == (3, 3)
+    assert np.all(np.abs(out[:2]) <= 1.0 + 1e-5)
+    assert np.all(out[2] == 0)
+    # parity with direct cosine computation
+    a, b, c = np.asarray(x)[[0, 1, 2]]
+    v01, v02 = a - b, a - c
+    want = np.dot(v01, v02) / (np.linalg.norm(v01) * np.linalg.norm(v02))
+    np.testing.assert_allclose(out[0, 0], want, rtol=1e-5)

@@ -67,3 +67,18 @@ def test_data_parallel_train_step_runs_on_mesh(rng):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_hybrid_mesh_and_global_batch(rng):
+    """(data=4, edge=2) hybrid mesh: batch sharded over data, replicated over
+    edge; single-process global assembly path."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.parallel.distributed import (global_batch_from_local,
+                                                  make_hybrid_mesh)
+
+    mesh = make_hybrid_mesh(4, 2)
+    x = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    g = global_batch_from_local({"x": x}, mesh)
+    assert g["x"].shape == (8, 16)
+    assert len(g["x"].sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(g["x"]), np.asarray(x))
