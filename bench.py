@@ -71,7 +71,62 @@ def bench_spmm(cfg, batch, iters=50):
     return nnz / dt
 
 
+def bench_train_step(cfg, model, variables, batch, iters=10):
+    from fpmatch_tpu.core.config import default_stages
+    from fpmatch_tpu.train.state import create_state
+    from fpmatch_tpu.train.step import make_train_step
+
+    stage = default_stages()[2]  # all partitions training
+    state = create_state(variables, stage)
+    step = make_train_step(model, stage)
+    state, _ = jax.block_until_ready(step(state, batch))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return batch.batch_size / dt
+
+
+def bench_pallas_spmm(cfg, batch, iters=50):
+    """Pallas fused kernel edges/s (same contract as bench_spmm)."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.kernels.assoc_pallas import assoc_matvec_pallas
+
+    B = batch.batch_size
+    N = cfg.shapes.n_max
+    E = cfg.shapes.e_max
+    rng = np.random.default_rng(0)
+    C = 16
+    X = jnp.asarray(rng.normal(size=(B, N, N, C)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(B, E, E)).astype(np.float32))
+
+    f = jax.jit(jax.vmap(lambda x, kp, ke, s1, d1, s2, d2:
+                         assoc_matvec_pallas(x, kp, ke, s1, d1, s2, d2,
+                                             transpose=True)))
+    args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
+            batch.dst[:, 1])
+    try:
+        jax.block_until_ready(f(*args))
+    except Exception as e:  # noqa: BLE001 — Pallas path is optional
+        print(f"# pallas kernel unavailable: {type(e).__name__}", flush=True)
+        return None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(f(*args))
+    dt = (time.perf_counter() - t0) / iters
+    e1 = np.asarray(batch.n_edges[:, 0], np.int64)
+    e2 = np.asarray(batch.n_edges[:, 1], np.int64)
+    n1 = np.asarray(batch.n_nodes[:, 0], np.int64)
+    n2 = np.asarray(batch.n_nodes[:, 1], np.int64)
+    nnz = int((e1 * e2 + n1 * n2).sum())
+    return nnz / dt
+
+
 def main():
+    import dataclasses
+
     from fpmatch_tpu.core.config import Config
     from fpmatch_tpu.models.ngm import NGMNet
     from fpmatch_tpu.data.synthetic import synthetic_pair_batch
@@ -82,7 +137,9 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
     pairs_per_s, out = bench_forward(cfg, model, variables, batch)
+    train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
     edges_per_s = bench_spmm(cfg, batch)
+    pallas_edges_per_s = bench_pallas_spmm(cfg, batch)
 
     result = {
         "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
@@ -90,7 +147,10 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(
             pairs_per_s / (TARGET_MULTIPLier * REF_PAIRS_PER_S_ESTIMATE), 2),
+        "train_step_pairs_per_s": round(train_pairs_per_s, 2),
         "assoc_spmm_edges_per_s": round(edges_per_s, 0),
+        "assoc_spmm_pallas_edges_per_s": (
+            round(pallas_edges_per_s, 0) if pallas_edges_per_s else None),
         "batch_size": int(batch.batch_size),
         "device": str(jax.devices()[0]),
     }

@@ -61,7 +61,6 @@ def synthetic_pair_batch(cfg: Config, batch_size: int, *, genuine_ratio=1.0,
         if genuine:
             gt_perm[b, :n, :n] = np.eye(n)
 
-    import jax.numpy as jnp
     return PairBatch(*(jnp.asarray(a) for a in (
         images, points, n_nodes, src, dst, n_edges, gt_perm, label,
         gt_perm.sum((1, 2)).astype(np.float32))))

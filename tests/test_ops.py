@@ -341,3 +341,32 @@ def test_hyperedge_angle_attrs(rng):
     v01, v02 = a - b, a - c
     want = np.dot(v01, v02) / (np.linalg.norm(v01) * np.linalg.norm(v02))
     np.testing.assert_allclose(out[0, 0], want, rtol=1e-5)
+
+
+def test_qap_power_sinkhorn_recovers_planted_permutation(rng):
+    """Planted QAP: Kp/Ke from a known permutation — the power iteration must
+    recover it (greedy-discretized) on the valid block."""
+    from fpmatch_tpu.ops.qap import qap_power_sinkhorn, qap_objective
+    from fpmatch_tpu.ops.soft_topk import greedy_perm
+
+    n = 8
+    perm = rng.permutation(n)
+    src1, dst1 = _rand_graph(rng, n, density=0.5)
+    src2, dst2 = perm[src1].astype(np.int32), perm[dst1].astype(np.int32)
+    # node affinity high on the planted matches X[i, perm[i]] = 1 — the
+    # one-hot row matrix is eye[perm] (eye[:, perm] would be the transpose)
+    Kp = (np.eye(n)[perm] + 0.05 * rng.uniform(size=(n, n))).astype(np.float32)
+    Ke = np.ones((len(src1), len(src2)), np.float32)
+
+    x = qap_power_sinkhorn(jnp.asarray(Kp), jnp.asarray(Ke),
+                           jnp.asarray(src1), jnp.asarray(dst1),
+                           jnp.asarray(src2), jnp.asarray(dst2), n, n,
+                           iters=30, tau=0.05)
+    hard = np.asarray(greedy_perm(x, float(n), n, n))
+    acc = hard[np.arange(n), perm].sum() / n
+    assert acc >= 0.9, (acc, hard)
+    obj = float(qap_objective(jnp.asarray(hard), jnp.asarray(Kp),
+                              jnp.asarray(Ke), jnp.asarray(src1),
+                              jnp.asarray(dst1), jnp.asarray(src2),
+                              jnp.asarray(dst2)))
+    assert obj > 0
