@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--length", type=int, default=None,
                     help="cap training pairs per epoch")
     ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--init-from", default=None,
+                    help="dir:name of a checkpoint to warm-start params from "
+                         "(e.g. checkpoints/run1:stage6_last)")
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--n-max", type=int, default=64)
     ap.add_argument("--e-max", type=int, default=384)
@@ -110,6 +113,16 @@ def main(argv=None):
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "
         f"devices={jax.devices()}")
+
+    if args.init_from:
+        from ..train.checkpoints import restore_params
+        from ..train.state import create_state
+        ckpt_dir, _, name = args.init_from.partition(":")
+        tmpl = create_state(variables, stages[0])
+        restored = restore_params(ckpt_dir, name or "stage6_last", tmpl)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        log(f"warm-started from {args.init_from}")
 
     state, history = run_curriculum(
         model, variables, stages, loaders["train"], loaders["val"],

@@ -7,21 +7,26 @@ csr_dot_csc/csr_dot_diag CUDA kernels, src/extension/sparse_dot/*):
                + Σ_{e1: s1(e1)=a} Σ_{e2: s2(e2)=b} Ke[e1, e2] · X[g1(e1), g2(e2), c]
 
 Strategy: the irregular gathers/scatters become dense one-hot matmuls built
-*inside* the kernel from the prefetched index vectors (MXU-friendly; TPUs
-have no fast random scatter), with every intermediate VMEM-resident:
+*inside* the kernel from the edge-index vectors (MXU-friendly; TPUs have no
+fast random scatter), with every intermediate VMEM-resident:
 
-  XG2[n, e2, c] = X[n, g2(e2), c]            (one matmul, once per pair)
-  per e1-block B:
-    rows  = OneHot(g1[B]) @ XG2              (gather rows)
+  XG2[c, n, e2] = X[c, n, g2(e2)]            (one matmul per channel, once)
+  per e1-block B, per channel c:
+    rows  = OneHot(g1[B]) @ XG2[c]           (gather rows)      (B, E2)
     w     = Ke[B] ⊙ rows                     (VPU)
-    t     = w @ OneHot(s2)ᵀ                  (scatter e2→n2)
-    Y    += OneHot(s1[B])ᵀ @ t               (scatter e1-block→n1)
+    t     = w @ OneHot(s2)                   (scatter e2→n2)    (B, N2)
+    Y[c] += OneHot(s1[B])ᵀ @ t               (scatter block→n1) (N1, N2)
+
+Data is channel-major (C, N1, N2) so every matmul is plain 2-D with the lane
+dimension ∈ {N2, E2} — Mosaic supports no lane-splitting reshapes. The C loop
+is a static Python unroll (C = 1 or 17 in the model).
 
 The E1 grid dimension streams edge blocks through VMEM, so association
 graphs far larger than VMEM (UNIV_SIZE-scale, n1·n2=360k) pipeline cleanly —
 the single-chip half of the edge-partitioned design (parallel/edge_partition
 shards the same E1 axis across chips).
 
+Index vectors ride in VMEM as (E, 1) int32 (SMEM only serves scalar loads).
 Padding contract: padded e1/e2 slots must carry Ke == 0 (they alias node 0).
 """
 from __future__ import annotations
@@ -34,70 +39,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _one_hot(idx, size, dtype):
-    """(len(idx), size) one-hot built from broadcasted iota (TPU needs 2D)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], size), 1)
-    return (idx[:, None] == cols).astype(dtype)
+def _one_hot(idx_col, size, dtype):
+    """idx_col: (L, 1) int32 → (L, size) one-hot (2D iota for TPU)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], size), 1)
+    return (idx_col == cols).astype(dtype)
 
 
-def _kernel(g1_ref, s1_ref, g2_ref, s2_ref,      # scalar-prefetch (SMEM)
-            x_ref, kp_ref, ke_ref,               # VMEM inputs
-            y_ref,                               # VMEM output
-            xg2_ref, acc_ref,                    # VMEM scratch
-            *, block_e1: int, n1: int, n2: int, c: int, e2: int):
+# HIGHEST precision: the MXU's default bf16 input rounding costs ~1% absolute
+# error vs the f32 segment-sum reference; 3-pass f32 matmuls restore parity
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=_PREC,
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(x_ref, kp_ref, ke_ref, g1_ref, s1_ref, g2_ref, s2_ref,
+            y_ref, xg2_ref, acc_ref,
+            *, n1: int, n2: int, c: int, e2: int):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
-    g2 = g2_ref[...]
-    s2 = s2_ref[...]
-
     @pl.when(step == 0)
     def _init():
-        # XG2[n, e2*c] = X[n, g2(e2), c]  via  OneHot(g2) @ X-matrix
-        oh_g2 = _one_hot(g2, n2, x_ref.dtype)            # (E2, N2)
-        x = x_ref[...].reshape(n1, n2, c)
-        # (E2, N2) @ (N2, C) batched over n1 → do as (N1·C, N2) layout:
-        xt = jnp.swapaxes(x, 1, 2).reshape(n1 * c, n2)   # (N1*C, N2)
-        g = jax.lax.dot_general(
-            xt, oh_g2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (N1*C, E2)
-        xg2_ref[...] = g.reshape(n1, c, e2)
+        oh_g2_t = _one_hot(g2_ref[...], n2, x_ref.dtype)  # (E2, N2)
+        for ch in range(c):
+            # XG2[ch] = X[ch] @ OneHot(g2)ᵀ : (N1, N2) @ (N2, E2)
+            xg2_ref[ch] = jax.lax.dot_general(
+                x_ref[ch], oh_g2_t, (((1,), (1,)), ((), ())),
+                precision=_PREC, preferred_element_type=jnp.float32)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    g1 = g1_ref[pl.ds(step * block_e1, block_e1)]
-    s1 = s1_ref[pl.ds(step * block_e1, block_e1)]
-    ke = ke_ref[...]                                     # (block_e1, E2)
+    ke = ke_ref[...]                                     # (B, E2)
+    oh_g1 = _one_hot(g1_ref[...], n1, x_ref.dtype)       # (B, N1)
+    oh_s1 = _one_hot(s1_ref[...], n1, x_ref.dtype)       # (B, N1)
+    oh_s2 = _one_hot(s2_ref[...], n2, x_ref.dtype)       # (E2, N2)
 
-    # gather rows of XG2 by g1 → (B, E2, C)
-    oh_g1 = _one_hot(g1, n1, x_ref.dtype)                # (B, N1)
-    xg2 = xg2_ref[...].reshape(n1, c * e2)
-    rows = jax.lax.dot_general(
-        oh_g1, xg2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (B, C*E2)
-    rows = rows.reshape(-1, c, e2)
-
-    w = rows * ke[:, None, :]                            # (B, C, E2)
-
-    # scatter e2 → n2: w @ OneHot(s2)  (E2, N2)
-    oh_s2 = _one_hot(s2, n2, x_ref.dtype)                # (E2, N2)
-    t = jax.lax.dot_general(
-        w.reshape(-1, e2), oh_s2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (B*C, N2)
-    t = t.reshape(-1, c, n2)                             # (B, C, N2)
-
-    # scatter block rows → n1: OneHot(s1)ᵀ @ t
-    oh_s1 = _one_hot(s1, n1, x_ref.dtype)                # (B, N1)
-    contrib = jax.lax.dot_general(
-        oh_s1, t.reshape(-1, c * n2), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (N1, C*N2)
-    acc_ref[...] += contrib.reshape(n1, c, n2)
+    for ch in range(c):
+        rows = _mm(oh_g1, xg2_ref[ch])                   # (B, E2)
+        t = _mm(rows * ke, oh_s2)                        # (B, N2)
+        contrib = jax.lax.dot_general(                   # (N1, N2)
+            oh_s1, t, (((0,), (0,)), ((), ())),
+            precision=_PREC, preferred_element_type=jnp.float32)
+        acc_ref[ch] += contrib
 
     @pl.when(step == nsteps - 1)
     def _finalize():
-        x = x_ref[...].reshape(n1, n2, c)
         kp = kp_ref[...]
-        y = jnp.swapaxes(acc_ref[...], 1, 2)             # (N1, N2, C)
-        y_ref[...] = (y + kp[:, :, None] * x).reshape(n1, n2 * c)
+        for ch in range(c):
+            y_ref[ch] = acc_ref[ch] + kp * x_ref[ch]
 
 
 @functools.partial(jax.jit,
@@ -118,24 +110,33 @@ def assoc_matvec_pallas(X, Kp, Ke, src1, dst1, src2, dst2, *,
         src2, dst2 = dst2, src2
 
     grid = (e1 // block_e1,)
+    xc = jnp.transpose(X, (2, 0, 1))                      # (C, N1, N2)
     out = pl.pallas_call(
-        functools.partial(_kernel, block_e1=block_e1, n1=n1, n2=n2, c=c,
-                          e2=e2),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((n1, n2 * c), lambda i, *_: (0, 0)),   # X
-                pl.BlockSpec((n1, n2), lambda i, *_: (0, 0)),       # Kp
-                pl.BlockSpec((block_e1, e2), lambda i, *_: (i, 0)),  # Ke
-            ],
-            out_specs=pl.BlockSpec((n1, n2 * c), lambda i, *_: (0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((n1, c, e2), jnp.float32),   # XG2
-                pltpu.VMEM((n1, c, n2), jnp.float32),   # accumulator
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((n1, n2 * c), X.dtype),
+        functools.partial(_kernel, n1=n1, n2=n2, c=c, e2=e2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, n1, n2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # X (ch-major)
+            pl.BlockSpec((n1, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # Kp
+            pl.BlockSpec((block_e1, e2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # Ke block
+            pl.BlockSpec((block_e1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # g1 block
+            pl.BlockSpec((block_e1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # s1 block
+            pl.BlockSpec((e2, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # g2
+            pl.BlockSpec((e2, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # s2
+        ],
+        out_specs=pl.BlockSpec((c, n1, n2), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, n1, e2), jnp.float32),   # XG2
+            pltpu.VMEM((c, n1, n2), jnp.float32),   # accumulator
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, n1, n2), X.dtype),
         interpret=interpret,
-    )(dst1, src1, dst2, src2, X.reshape(n1, n2 * c), Kp, Ke)
-    return out.reshape(n1, n2, c)
+    )(xc, Kp, Ke, dst1[:, None], src1[:, None], dst2[:, None], src2[:, None])
+    return jnp.transpose(out, (1, 2, 0))
