@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--e-max", type=int, default=384)
     ap.add_argument("--univ", type=int, default=600)
     ap.add_argument("--num-viz", type=int, default=4)
+    ap.add_argument("--augment", action="store_true",
+                    help="augment test pairs (harder cross-session protocol)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -61,7 +63,7 @@ def main(argv=None):
 
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
-    pd = PairDataset(bench, cfg, augment=False)
+    pd = PairDataset(bench, cfg, augment=args.augment)
     loader = DataLoader(pd, cfg, drop_last=False)
     log(f"test pairs: {len(pd)}")
 
