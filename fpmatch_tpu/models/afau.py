@@ -143,3 +143,48 @@ class AFAUEncoder(nn.Module):
 
         k_logit = 0.5 * (head("final_row", g_row) + head("final_col", g_col))
         return jax.nn.sigmoid(k_logit)
+
+
+class TensorNetworkModule(nn.Module):
+    """SimGNN tensor network producing a similarity vector from two graph
+    embeddings (reference afau.py:303-347; AFA-I component)."""
+
+    filters: int
+    tensor_neurons: int = 16
+
+    @nn.compact
+    def __call__(self, emb1, emb2):
+        """emb1/emb2: (B, filters) graph-level embeddings."""
+        W = self.param("weight_matrix", nn.initializers.glorot_uniform(),
+                       (self.filters, self.filters, self.tensor_neurons))
+        Wb = self.param("weight_matrix_block",
+                        nn.initializers.glorot_uniform(),
+                        (self.tensor_neurons, 2 * self.filters))
+        b = self.param("bias", nn.initializers.zeros, (self.tensor_neurons,))
+        scoring = jnp.einsum("bi,ijt,bj->bt", emb1, W, emb2)
+        block = jnp.concatenate([emb1, emb2], axis=-1) @ Wb.T
+        return nn.relu(scoring + block + b)
+
+
+class DenseAttentionModule(nn.Module):
+    """SimGNN dense attention pooling to a graph-level embedding
+    (reference afau.py:350-399)."""
+
+    filters: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: (B, N, filters); mask: (B, N) validity."""
+        W = self.param("weight_matrix", nn.initializers.glorot_uniform(),
+                       (self.filters, self.filters))
+        if mask is not None:
+            cnt = jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+            mean = (x * mask[..., None]).sum(1) / cnt
+        else:
+            mean = x.mean(1)
+        g = jnp.tanh(mean @ W)
+        koefs = jax.nn.sigmoid(jnp.einsum("bnf,bf->bn", x, g))
+        w = koefs[..., None] * x
+        if mask is not None:
+            w = w * mask[..., None]
+        return w.sum(1)

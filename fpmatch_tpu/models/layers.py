@@ -135,3 +135,40 @@ class MatchClassifier(nn.Module):
         pooled = (x * m).sum(axis=(1, 2)) / jnp.maximum(
             m.sum(axis=(1, 2)), 1.0)
         return nn.Dense(1, name="fc")(pooled)[..., 0]
+
+
+class BilinearAffinity(nn.Module):
+    """Bilinear affinity M = X·A·Yᵀ with a learnable square A initialized at
+    identity (reference src/model/pca_affinity.py:8-32, the PCA-GM affinity;
+    library component, not wired into NGMNet)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, X, Y, mask=None):
+        A = self.param("A", lambda key, shape: jnp.eye(shape[0]),
+                       (self.dim, self.dim))
+        res = jnp.einsum("...id,...de,...je->...ij", X, (A + A.T) / 2, Y)
+        if mask is not None:
+            res = res * mask
+        return res
+
+
+class DenseAssocGNNLayer(nn.Module):
+    """Dense-K association conv (reference GNNLayer, gnn.py:11-87): row-
+    normalized adjacency ⊙ edge-feature tensor matmul, for problems small
+    enough to materialize K. Library alternative to AssocGNNLayer."""
+
+    out_features: int = 16
+
+    @nn.compact
+    def __call__(self, K, X, mask):
+        """K: (M, M) dense affinity; X: (M, C); mask: (M,) valid assoc nodes."""
+        A = (K > 0).astype(K.dtype) * mask[None, :] * mask[:, None]
+        A = A / jnp.maximum(A.sum(axis=1, keepdims=True), 1.0)
+        x1 = nn.relu(nn.Dense(self.out_features, name="n_fc0")(X))
+        x1 = nn.relu(nn.Dense(self.out_features, name="n_fc1")(x1))
+        x2 = (A * K) @ x1
+        h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
+        h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
+        return (x2 + h) * mask[:, None]

@@ -119,3 +119,16 @@ def distill_quadratic_contrast(sim_student, sim_teacher, ns1, ns2):
     d = (sim_student - jax.lax.stop_gradient(sim_teacher)) ** 2
     return jnp.sum(jnp.where(m, d, 0.0)) / jnp.maximum(
         jnp.sum(m.astype(sim_student.dtype)), 1.0)
+
+
+def permutation_loss_hung(pred_dsmat, pred_perm, gt_perm, ns1, ns2):
+    """Hungarian-attention permutation loss (loss_func.py:114-173, BBGM):
+    BCE restricted to the attention set = union of the discrete prediction
+    and the ground truth, so easy negatives stop dominating."""
+    b, s1, s2 = pred_dsmat.shape
+    m = _valid_mask(ns1, ns2, s1, s2)
+    att = jnp.maximum(jax.lax.stop_gradient(pred_perm), gt_perm)
+    p = jnp.clip(pred_dsmat, EPS, 1.0 - EPS)
+    ce = -(gt_perm * jnp.log(p) + (1.0 - gt_perm) * jnp.log1p(-p)) * att
+    total = jnp.sum(jnp.where(m, ce, 0.0))
+    return total / jnp.maximum(jnp.sum(ns1).astype(pred_dsmat.dtype), 1.0)
