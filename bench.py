@@ -125,8 +125,6 @@ def bench_pallas_spmm(cfg, batch, iters=50):
 
 
 def main():
-    import dataclasses
-
     from fpmatch_tpu.core.config import Config
     from fpmatch_tpu.models.ngm import NGMNet
     from fpmatch_tpu.data.synthetic import synthetic_pair_batch

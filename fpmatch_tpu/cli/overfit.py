@@ -5,10 +5,7 @@ the quickest sanity check that the whole gradient path works.
 from __future__ import annotations
 
 import argparse
-import dataclasses
-
 import jax
-import numpy as np
 
 
 def main(argv=None):

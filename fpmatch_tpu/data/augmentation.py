@@ -15,7 +15,7 @@ SURVEY.md §5 "non-determinism in the data path").
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import cv2
 import numpy as np

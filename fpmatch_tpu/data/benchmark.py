@@ -20,7 +20,7 @@ from __future__ import annotations
 import itertools
 import random
 from collections import defaultdict
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

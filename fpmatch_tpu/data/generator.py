@@ -13,9 +13,8 @@ fingers distinct and impressions reproducible.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import List, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

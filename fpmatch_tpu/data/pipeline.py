@@ -15,12 +15,12 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
 
-from ..core.build_graphs import build_edges, delaunay_triangles, permute_edges
+from ..core.build_graphs import build_edges, permute_edges
 from ..core.config import Config
 from .augmentation import (augment_image_pair, augment_two_images,
                            standardize)

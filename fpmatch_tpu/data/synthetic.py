@@ -8,8 +8,6 @@ with independent clouds and zero permutation.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..core.build_graphs import build_edges

@@ -22,7 +22,7 @@ noted):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ code scales to edge-partitioned multi-chip K (pass an edge-sharded matvec).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

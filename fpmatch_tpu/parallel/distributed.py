@@ -12,7 +12,7 @@ slice the same code paths run unchanged with `jax.distributed.initialize`.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

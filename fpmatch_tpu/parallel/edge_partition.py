@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.assoc import assoc_matvec, assoc_degree
+from ..ops.assoc import assoc_matvec
 
 
 def edge_sharded_matvec(mesh: Mesh, axis: str = "edge"):

@@ -16,10 +16,7 @@ inference works (entireImage.py). NHWC, grayscale in (B, H, W, 1).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class LayerBlock(nn.Module):

@@ -11,8 +11,6 @@ of the surrounding ring must be ridge) → centroid output.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import cv2
 import numpy as np
 

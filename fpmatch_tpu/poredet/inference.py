@@ -9,11 +9,9 @@ coordinates.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,7 +7,7 @@ random negatives, balanced 1:1.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,8 +8,7 @@ Compact capability-parity rebuild of pore-detection/train.py:218-846:
 """
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

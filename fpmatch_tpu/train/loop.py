@@ -13,13 +13,12 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
-import jax
 import numpy as np
 
-from ..core.config import Config, StageConfig
+from ..core.config import StageConfig
 from ..evaluation.metrics import verification_metrics
 from ..models.ngm import NGMNet
-from .checkpoints import read_meta, restore_params, save_checkpoint, warm_start
+from .checkpoints import save_checkpoint, warm_start
 from .scheduler import WarmupPlateau
 from .state import TrainState, create_state, set_learning_rates
 from .step import make_eval_step, make_train_step

@@ -9,13 +9,12 @@ are possible.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..core.config import Config, StageConfig
+from ..core.config import StageConfig
 from ..evaluation.metrics import matching_accuracy
 from ..models.ngm import NGMNet, PairBatch
 from .losses import permutation_loss
