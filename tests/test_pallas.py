@@ -62,3 +62,26 @@ def test_pallas_padded_edges_inert(rng):
                               jnp.asarray(d2p), block_e1=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_pallas_large_matches_xla(rng, transpose):
+    from fpmatch_tpu.kernels.assoc_pallas import assoc_matvec_pallas_large
+
+    n1 = n2 = 16
+    e1 = e2 = 64
+    c = 5   # odd: exercises channel padding
+    src1, dst1 = _rand_edges(rng, n1, e1)
+    src2, dst2 = _rand_edges(rng, n2, e2)
+    X = jnp.asarray(rng.normal(size=(n1, n2, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n1, n2)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(e1, e2)).astype(np.float32))
+
+    want = assoc_matvec(X, Kp, Ke, src1, dst1, src2, dst2,
+                        transpose=transpose)
+    got = assoc_matvec_pallas_large(
+        X, Kp, Ke, jnp.asarray(src1), jnp.asarray(dst1), jnp.asarray(src2),
+        jnp.asarray(dst2), transpose=transpose, block_e1=32, block_e2=16,
+        block_c=2, precision="highest", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
