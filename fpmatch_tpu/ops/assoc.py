@@ -70,6 +70,46 @@ def assoc_matvec(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
     return Y + Kp[..., None] * X
 
 
+def assoc_matvec_fused(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
+                       src1, dst1, src2, dst2,
+                       transpose: bool = False) -> jnp.ndarray:
+    """K·vec(X) via a single fused contraction — the large-problem path.
+
+    The gather/segment-sum form materializes the (E1, E2, C) weighted tensor
+    (880 MB at UNIV scale), collapsing to ~0.3 G edges/s; fusing the e2
+    contraction into one einsum lets XLA keep it in registers/VMEM:
+    measured 6.5 ms vs 43 ms per n=600/e=3600 pair (f32-exact, HIGHEST
+    precision). Prefer `assoc_matvec` for bucket-scale problems (its
+    gather path is ~16 G edges/s at n=64).
+    """
+    n1, n2, _ = X.shape
+    if transpose:
+        src1, dst1 = dst1, src1
+        src2, dst2 = dst2, src2
+    rows = X[dst1]                                    # (E1, N2, C)
+    G2 = jax.nn.one_hot(dst2, n2, dtype=X.dtype)      # (E2, N2) gather matrix
+    S2 = jax.nn.one_hot(src2, n2, dtype=X.dtype)      # (E2, N2) scatter matrix
+    t = jnp.einsum("enc,fn,ef,fm->emc", rows, G2, Ke, S2,
+                   precision=jax.lax.Precision.HIGHEST)
+    Y = _segment_sum(t, src1, n1)
+    return Y + Kp[..., None] * X
+
+
+# association-edge count above which the fused-einsum path wins (empirical
+# crossover on v5e; gather/segment-sum is faster below it)
+FUSED_NNZ_THRESHOLD = 1_000_000
+
+
+def assoc_matvec_auto(X, Kp, Ke, src1, dst1, src2, dst2,
+                      transpose: bool = False):
+    """Static-shape dispatch between the gather and fused paths."""
+    if Ke.shape[0] * Ke.shape[1] >= FUSED_NNZ_THRESHOLD:
+        return assoc_matvec_fused(X, Kp, Ke, src1, dst1, src2, dst2,
+                                  transpose=transpose)
+    return assoc_matvec(X, Kp, Ke, src1, dst1, src2, dst2,
+                        transpose=transpose)
+
+
 def assoc_degree(Kp_present: jnp.ndarray, e1_mask, e2_mask,
                  src1, dst1, src2, dst2, n1: int, n2: int,
                  transpose: bool = False) -> jnp.ndarray:
@@ -99,7 +139,8 @@ def assoc_aggregate_mean(X, Kp, Ke, src1, dst1, src2, dst2,
     (src/model/gnn.py:207-209).
     """
     n1, n2, _ = X.shape
-    y = assoc_matvec(X, Kp, Ke, src1, dst1, src2, dst2, transpose=transpose)
+    y = assoc_matvec_auto(X, Kp, Ke, src1, dst1, src2, dst2,
+                          transpose=transpose)
     deg = assoc_degree(Kp_present, e1_mask, e2_mask, src1, dst1, src2, dst2,
                        n1, n2, transpose=transpose)
     return y / jnp.maximum(deg, 1.0)[..., None]

@@ -370,3 +370,23 @@ def test_qap_power_sinkhorn_recovers_planted_permutation(rng):
                               jnp.asarray(dst1), jnp.asarray(src2),
                               jnp.asarray(dst2)))
     assert obj > 0
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_assoc_matvec_fused_matches_gather(rng, transpose):
+    from fpmatch_tpu.ops.assoc import assoc_matvec_fused
+
+    n1, n2, c = 5, 4, 3
+    src1, dst1 = _rand_graph(rng, n1)
+    src2, dst2 = _rand_graph(rng, n2)
+    Kp = rng.normal(size=(n1, n2)).astype(np.float32)
+    Ke = rng.normal(size=(len(src1), len(src2))).astype(np.float32)
+    X = rng.normal(size=(n1, n2, c)).astype(np.float32)
+    want = assoc_matvec(jnp.asarray(X), jnp.asarray(Kp), jnp.asarray(Ke),
+                        src1, dst1, src2, dst2, transpose=transpose)
+    got = assoc_matvec_fused(jnp.asarray(X), jnp.asarray(Kp),
+                             jnp.asarray(Ke), jnp.asarray(src1),
+                             jnp.asarray(dst1), jnp.asarray(src2),
+                             jnp.asarray(dst2), transpose=transpose)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
