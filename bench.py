@@ -20,18 +20,29 @@ import time
 import jax
 import numpy as np
 
+
+def steady_seconds(fn, *args, iters=20, repeats=3):
+    """Best median-of-iters over several repeats — the tunnel-attached TPU
+    shows large transient stalls, so a single mean is unusable."""
+    jax.block_until_ready(fn(*args))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        best = min(best, float(np.median(ts)))
+    return best
+
 REF_PAIRS_PER_S_ESTIMATE = 10.0
 TARGET_MULTIPLier = 2.0
 
 
 def bench_forward(cfg, model, variables, batch, iters=20):
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    out = jax.block_until_ready(fwd(variables, batch))  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(fwd(variables, batch))
-    dt = (time.perf_counter() - t0) / iters
-    return batch.batch_size / dt, out
+    dt = steady_seconds(fwd, variables, batch, iters=iters)
+    return batch.batch_size / dt, fwd(variables, batch)
 
 
 def bench_spmm(cfg, batch, iters=50):
@@ -57,11 +68,7 @@ def bench_spmm(cfg, batch, iters=50):
     f = jax.jit(jax.vmap(assoc_aggregate_mean))
     args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
             batch.dst[:, 1], kp_present, e1m, e2m)
-    jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(f(*args))
-    dt = (time.perf_counter() - t0) / iters
+    dt = steady_seconds(f, *args, iters=iters)
     # association edges processed per call: per pair e1*e2 + n1*n2 diag
     e1 = np.asarray(batch.n_edges[:, 0], np.int64)
     e2 = np.asarray(batch.n_edges[:, 1], np.int64)
@@ -80,11 +87,12 @@ def bench_train_step(cfg, model, variables, batch, iters=10):
     state = create_state(variables, stage)
     step = make_train_step(model, stage)
     state, _ = jax.block_until_ready(step(state, batch))  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+
+    def run(s, b):
+        ns, m = step(s, b)
+        return m
+
+    dt = steady_seconds(run, state, batch, iters=iters)
     return batch.batch_size / dt
 
 
@@ -102,20 +110,18 @@ def bench_pallas_spmm(cfg, batch, iters=50):
     Kp = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
     Ke = jnp.asarray(rng.normal(size=(B, E, E)).astype(np.float32))
 
+    # single-step E1 grid: under vmap, multi-step grids re-fetch the
+    # X/Kp blocks per (batch, step) and collapse throughput ~600x
     f = jax.jit(jax.vmap(lambda x, kp, ke, s1, d1, s2, d2:
                          assoc_matvec_pallas(x, kp, ke, s1, d1, s2, d2,
-                                             transpose=True)))
+                                             transpose=True, block_e1=E)))
     args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
             batch.dst[:, 1])
     try:
-        jax.block_until_ready(f(*args))
+        dt = steady_seconds(f, *args, iters=iters)
     except Exception as e:  # noqa: BLE001 — Pallas path is optional
         print(f"# pallas kernel unavailable: {type(e).__name__}", flush=True)
         return None
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(f(*args))
-    dt = (time.perf_counter() - t0) / iters
     e1 = np.asarray(batch.n_edges[:, 0], np.int64)
     e2 = np.asarray(batch.n_edges[:, 1], np.int64)
     n1 = np.asarray(batch.n_nodes[:, 0], np.int64)
