@@ -37,6 +37,9 @@ class BackboneConfig:
     node_channels: int = 256
     edge_channels: int = 512
     dtype: str = "float32"   # backbone compute dtype ("bfloat16" for speed)
+    # stages contributing node features; add "layer2" (stride 8, 128ch) for
+    # dense pore grids and raise NGMConfig.node_feature_dim by 128
+    node_taps: Tuple[str, ...] = ("layer3",)
 
 
 @dataclass(frozen=True)

@@ -46,15 +46,21 @@ class BasicBlock(nn.Module):
 
 
 class ResNet18Backbone(nn.Module):
-    """Truncated ResNet-18 with the matcher's three output taps."""
+    """Truncated ResNet-18 with the matcher's output taps.
+
+    `node_taps` selects which stages contribute node features: the default
+    ("layer3",) matches the reference (stride 16, 256ch); adding "layer2"
+    (stride 8, 128ch) gives finer localization for dense pore grids whose
+    spacing undercuts stride-16 cells (see RESULTS.md quality frontier)."""
 
     dtype: Any = jnp.float32
+    node_taps: Tuple[str, ...] = ("layer3",)
 
     @nn.compact
     def __call__(self, x, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
         """:param x: (B, H, W, 3) normalized images
-        :return: (nodes (B,H/16,W/16,256), edges (B,H/32,W/32,512),
+        :return: (node feature maps — one per tap, edges (B,H/32,W/32,512),
                   global (B,512))"""
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -63,12 +69,13 @@ class ResNet18Backbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        taps = {}
         for i, (ch, blocks, stride) in enumerate(
                 [(64, 2, 1), (128, 2, 2), (256, 2, 2)]):
             for b in range(blocks):
                 y = BasicBlock(ch, stride if b == 0 else 1, dtype=self.dtype,
                                name=f"layer{i + 1}_{b}")(y, train=train)
-        nodes = y                                           # stride 16, 256ch
+            taps[f"layer{i + 1}"] = y
 
         for b in range(2):
             y = BasicBlock(512, 2 if b == 0 else 1, dtype=self.dtype,
@@ -76,7 +83,7 @@ class ResNet18Backbone(nn.Module):
         edges = y                                           # stride 32, 512ch
 
         global_feat = jnp.max(edges, axis=(1, 2))           # adaptive max-pool
-        return nodes, edges, global_feat
+        return tuple(taps[t] for t in self.node_taps), edges, global_feat
 
 
 def load_torch_resnet18(state_dict: Dict[str, Any]) -> Dict[str, Any]:

@@ -90,19 +90,21 @@ class NGMNet(nn.Module):
         bb_dtype = jnp.bfloat16 if self.cfg.backbone.dtype == "bfloat16" \
             else jnp.float32
         imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
-        nodes_map, edges_map, global_feat = ResNet18Backbone(
-            dtype=bb_dtype, name="backbone")(imgs, train=train)
-        nodes_map = normalize_over_channels(nodes_map.astype(jnp.float32))
+        node_maps, edges_map, global_feat = ResNet18Backbone(
+            dtype=bb_dtype, node_taps=self.cfg.backbone.node_taps,
+            name="backbone")(imgs, train=train)
+        node_maps = [normalize_over_channels(m.astype(jnp.float32))
+                     for m in node_maps]
         edges_map = normalize_over_channels(edges_map.astype(jnp.float32))
         global_feat = global_feat.astype(jnp.float32)
 
         # ---- bilinear alignment at keypoints -----------------------------
         pts = batch.points.reshape(B * 2, N, 2)
-        U = jax.vmap(lambda f, p: feature_align(f, p, self.cfg.data.rescale)
-                     )(nodes_map, pts)
+        aligned = [jax.vmap(lambda f, p: feature_align(
+            f, p, self.cfg.data.rescale))(m, pts) for m in node_maps]
         F = jax.vmap(lambda f, p: feature_align(f, p, self.cfg.data.rescale)
                      )(edges_map, pts)
-        node_feat = jnp.concatenate([U, F], axis=-1)        # (B*2, N, 768)
+        node_feat = jnp.concatenate(aligned + [F], axis=-1)  # (B*2, N, 768+)
 
         node_mask = (jnp.arange(N)[None, :]
                      < batch.n_nodes.reshape(B * 2)[:, None])
