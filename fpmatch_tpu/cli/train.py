@@ -51,6 +51,9 @@ def main(argv=None):
     ap.add_argument("--n-max", type=int, default=64)
     ap.add_argument("--e-max", type=int, default=384)
     ap.add_argument("--univ", type=int, default=600)
+    ap.add_argument("--node-taps", default="layer3",
+                    help="comma-separated backbone node taps, e.g. "
+                         "layer2,layer3 for stride-8+16 features")
     ap.add_argument("--passes", type=int, default=3,
                     help="loader passes per epoch (reference uses 3)")
     ap.add_argument("--smoke", action="store_true",
@@ -71,6 +74,14 @@ def main(argv=None):
     shapes = ShapeConfig(n_max=args.n_max, e_max=args.e_max,
                          univ_size=args.univ)
     cfg = Config(shapes=shapes)
+    taps = tuple(args.node_taps.split(","))
+    if taps != ("layer3",):
+        tap_ch = {"layer1": 64, "layer2": 128, "layer3": 256}
+        feat = sum(tap_ch[t] for t in taps) + 512
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, node_taps=taps),
+            ngm=dataclasses.replace(cfg.ngm, node_feature_dim=feat))
     if args.batch_size:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data,

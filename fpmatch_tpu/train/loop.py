@@ -121,10 +121,16 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
                             extra={"stage": stage.name, "epoch": epoch})
 
         if test_loader is not None and (epoch + 1) % eval_every == 0:
-            tm = evaluate_verification(model, state, stage, test_loader)
-            log_fn(f"[{stage.name}] epoch {epoch} test: "
-                   f"EER={tm.get('eer', float('nan')):.4f} "
-                   f"ROC-AUC={tm.get('roc_auc', float('nan')):.4f}")
+            # periodic eval is advisory — a transient device/tunnel error
+            # must not kill a long training run
+            try:
+                tm = evaluate_verification(model, state, stage, test_loader)
+                log_fn(f"[{stage.name}] epoch {epoch} test: "
+                       f"EER={tm.get('eer', float('nan')):.4f} "
+                       f"ROC-AUC={tm.get('roc_auc', float('nan')):.4f}")
+            except Exception as e:  # noqa: BLE001
+                log_fn(f"[{stage.name}] epoch {epoch} test eval failed "
+                       f"({type(e).__name__}: {e}); continuing")
 
         if bad_epochs >= early_stop_patience:
             log_fn(f"[{stage.name}] early stop at epoch {epoch}")
