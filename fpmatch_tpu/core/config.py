@@ -40,6 +40,11 @@ class BackboneConfig:
     # stages contributing node features; add "layer2" (stride 8, 128ch) for
     # dense pore grids and raise NGMConfig.node_feature_dim by 128
     node_taps: Tuple[str, ...] = ("layer3",)
+    # width/depth knobs (defaults = torchvision ResNet-18; shrink for smoke
+    # tests / the multichip dryrun where per-device CPU work must stay tiny)
+    stem_channels: int = 64
+    stage_channels: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    blocks_per_stage: int = 2
 
 
 @dataclass(frozen=True)

@@ -55,6 +55,9 @@ class ResNet18Backbone(nn.Module):
 
     dtype: Any = jnp.float32
     node_taps: Tuple[str, ...] = ("layer3",)
+    stem_channels: int = 64
+    stage_channels: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    blocks_per_stage: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False
@@ -62,23 +65,24 @@ class ResNet18Backbone(nn.Module):
         """:param x: (B, H, W, 3) normalized images
         :return: (node feature maps — one per tap, edges (B,H/32,W/32,512),
                   global (B,512))"""
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        y = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         taps = {}
-        for i, (ch, blocks, stride) in enumerate(
-                [(64, 2, 1), (128, 2, 2), (256, 2, 2)]):
-            for b in range(blocks):
+        for i, ch in enumerate(self.stage_channels[:3]):
+            stride = 1 if i == 0 else 2
+            for b in range(self.blocks_per_stage):
                 y = BasicBlock(ch, stride if b == 0 else 1, dtype=self.dtype,
                                name=f"layer{i + 1}_{b}")(y, train=train)
             taps[f"layer{i + 1}"] = y
 
-        for b in range(2):
-            y = BasicBlock(512, 2 if b == 0 else 1, dtype=self.dtype,
+        for b in range(self.blocks_per_stage):
+            y = BasicBlock(self.stage_channels[3], 2 if b == 0 else 1,
+                           dtype=self.dtype,
                            name=f"layer4_{b}")(y, train=train)
         edges = y                                           # stride 32, 512ch
 

@@ -92,6 +92,9 @@ class NGMNet(nn.Module):
         imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
         node_maps, edges_map, global_feat = ResNet18Backbone(
             dtype=bb_dtype, node_taps=self.cfg.backbone.node_taps,
+            stem_channels=self.cfg.backbone.stem_channels,
+            stage_channels=self.cfg.backbone.stage_channels,
+            blocks_per_stage=self.cfg.backbone.blocks_per_stage,
             name="backbone")(imgs, train=train)
         node_maps = [normalize_over_channels(m.astype(jnp.float32))
                      for m in node_maps]
