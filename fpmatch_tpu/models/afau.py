@@ -77,6 +77,7 @@ class EncodingBlock(nn.Module):
     head_num: int = 16
     qkv_dim: int = 16
     ff_hidden: int = 256
+    ms_hidden: int = 16
 
     @nn.compact
     def __call__(self, row_emb, col_emb, cost, row_mask, col_mask):
@@ -88,7 +89,8 @@ class EncodingBlock(nn.Module):
         def heads(x):
             return jnp.transpose(x.reshape(x.shape[0], h, d), (1, 0, 2))
 
-        att = MixedScoreAttention(head_num=h, qkv_dim=d, name="mha")(
+        att = MixedScoreAttention(head_num=h, qkv_dim=d,
+                                  ms_hidden=self.ms_hidden, name="mha")(
             heads(q), heads(k), heads(v), cost, col_mask)
         att = jnp.transpose(att, (1, 0, 2)).reshape(row_emb.shape[0], h * d)
         mh = nn.Dense(self.embedding_dim, name="combine")(att)
