@@ -95,10 +95,16 @@ def _t_elastic(img, annos, rng):
         return (d[yi, xi] * (1 - fx) * (1 - fy) + d[yi, xi + 1] * fx * (1 - fy)
                 + d[yi + 1, xi] * (1 - fx) * fy + d[yi + 1, xi + 1] * fx * fy)
 
+    # remap is a BACKWARD map (out(q) = img(q + d(q))), so a feature at
+    # input p lands at q ≈ p − d(p) for smooth fields. The reference moves
+    # keypoints by +d (utils/augmentation.py:159-185), misplacing them by
+    # ~2|d| — up to a full pore spacing at alpha=120. Documented deviation:
+    # we apply the correct first-order inverse so keypoints stay on their
+    # pores after elastic warps.
     new_annos = []
     for lab, x, y in annos:
         if 0 <= x < w and 0 <= y < h:
-            nx, ny = x + sample(dx, x, y), y + sample(dy, x, y)
+            nx, ny = x - sample(dx, x, y), y - sample(dy, x, y)
             if 0 <= nx < w and 0 <= ny < h:
                 new_annos.append([lab, float(nx), float(ny)])
     return out, new_annos

@@ -153,6 +153,12 @@ class Benchmark:
         if self._classify_pairs is None:
             if self.pair_protocol == "session":
                 self._classify_pairs = self._session_pairs()
+            elif self.pair_protocol == "auto":
+                # session pairs when image ids parse as
+                # {person}_{session}_{stance} (multi-impression data: genuine
+                # = cross-session, the hard protocol), else self pairs
+                pairs = self._session_pairs()
+                self._classify_pairs = pairs if pairs else self._self_pairs()
             else:
                 self._classify_pairs = self._self_pairs()
         return self._classify_pairs
@@ -183,8 +189,8 @@ def make_benchmark(name: str, sets: str, root: Optional[str] = None,
                    task: str = "match", **kw) -> Benchmark:
     """Factory over the four dataset families (reference names preserved)."""
     classes = {
-        "L3SFV2Augmented": (L3SFV2AugmentedDataset, "self"),
-        "Synthetic": (L3SFV2AugmentedDataset, "self"),
+        "L3SFV2Augmented": (L3SFV2AugmentedDataset, "auto"),
+        "Synthetic": (L3SFV2AugmentedDataset, "auto"),
         "PolyUDBII": (PolyUDBII, "session"),
         "PolyUDBI": (PolyUDBI, "session"),
         "L3SF": (L3SF, "session"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import csv
 import json
+import re
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -21,9 +22,18 @@ from PIL import Image
 IMAGE_EXTS = (".jpg", ".png", ".bmp")
 
 
-def read_keypoints(anno_file: Path, prefix: str) -> List[Dict]:
-    """Parse one keypoint file into [{'labels', 'x', 'y'}, ...]."""
+def read_keypoints(anno_file: Path, prefix: str,
+                   uid: Optional[str] = None) -> List[Dict]:
+    """Parse one keypoint file into [{'labels', 'x', 'y'}, ...].
+
+    `prefix` is the identity scope of the labels: for multi-impression
+    fingers it is the finger class, so the same canonical pore id yields the
+    same label in every impression (cross-impression GT by label equality).
+    Files may carry an `id` column (canonical pore id; negative = spurious
+    detection). Spurious pores are labelled per-image (`uid`) so they can
+    never match anything across impressions."""
     ext = anno_file.suffix.lower()
+    uid = uid or prefix
     kpts: List[Dict] = []
     if ext == ".txt":
         with open(anno_file) as f:
@@ -45,7 +55,13 @@ def read_keypoints(anno_file: Path, prefix: str) -> List[Dict]:
             reader = csv.DictReader(f, delimiter=delim)
             for i, row in enumerate(reader):
                 try:
-                    kpts.append({"labels": f"{prefix}_{i}",
+                    if "id" in row and row["id"] is not None:
+                        pid = int(row["id"])
+                        lab = (f"{prefix}_{pid}" if pid >= 0
+                               else f"{uid}_sp{-pid}")
+                    else:
+                        lab = f"{prefix}_{i}"
+                    kpts.append({"labels": lab,
                                  "x": float(row["x"]), "y": float(row["y"])})
                 except (KeyError, ValueError):
                     continue
@@ -116,13 +132,20 @@ class FingerprintDataset:
         data: Dict[str, Dict] = {}
         for img_path in self.image_files():
             uid = f"{img_path.parent.name}_{img_path.stem}"
+            # stems shaped {finger}_{session}_{stance} are impressions of one
+            # finger: the class (identity) is the finger, and keypoint labels
+            # are scoped to it so GT correspondences hold across impressions
+            cls = uid
+            m = re.fullmatch(r"(.+)_(\d+)_(\d+)", img_path.stem)
+            if m:
+                cls = f"{img_path.parent.name}_{m.group(1)}"
             anno_file = find_annotation_file(img_path)
-            kpts = (read_keypoints(anno_file, uid) if anno_file else [])
+            kpts = (read_keypoints(anno_file, cls, uid) if anno_file else [])
             with Image.open(img_path) as im:
                 w, h = im.size
             data[uid] = {
                 "path": str(img_path),
-                "cls": uid,
+                "cls": cls,
                 "bounds": [0, 0, min(320, w), min(240, h)],
                 "kpts": kpts,
                 "univ_size": len(kpts),

@@ -82,9 +82,6 @@ class PairDataset:
                     key=lambda b: order[b[0]])
         return a1, a2
 
-    def _build_graph_pair(self, ann1, ann2, perm) -> PairSample:
-        raise NotImplementedError
-
     def get(self, idx: int, epoch: int = 0) -> PairSample:
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + epoch) * 2_000_003 + idx)
@@ -155,7 +152,12 @@ class PairDataset:
 
         stg = cfg.data.src_graph_construct
         _, s1, d1 = build_edges(P1, stg=stg)
-        if cfg.data.tgt_graph_construct == "same" and perm.sum() > 0:
+        # G2 = Pᵀ·G1 is only well-defined for a COMPLETE permutation (every
+        # source node matched); partial-overlap pairs (cross-impression
+        # genuine) get an independent Delaunay on P2
+        complete = (perm.shape[0] == perm.shape[1]
+                    and perm.sum() == perm.shape[0] > 0)
+        if cfg.data.tgt_graph_construct == "same" and complete:
             s2, d2 = permute_edges(s1, d1, perm)       # G2 = Pᵀ·G1
         else:
             _, s2, d2 = build_edges(P2, stg=stg)

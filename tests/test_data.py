@@ -118,6 +118,80 @@ def test_pipeline_determinism(synth_root, tmp_path, cfg):
     assert not np.array_equal(a.images[0], c.images[0])  # epoch varies
 
 
+def test_elastic_keypoints_track_the_warp():
+    """A keypoint on a bright dot must still sit on that dot after the
+    elastic warp (remap is a backward map → keypoints move by −d; the
+    reference's +d convention drifts ~2|d|)."""
+    import cv2
+    from fpmatch_tpu.data.augmentation import _t_elastic
+
+    errs = []
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        img = np.zeros((200, 240, 3), np.uint8)
+        x0, y0 = 120, 100
+        cv2.circle(img, (x0, y0), 3, (255, 255, 255), -1)
+        out, ann = _t_elastic(img, [["p", float(x0), float(y0)]], rng)
+        if not ann:
+            continue
+        ys, xs = np.nonzero(out[..., 0] > 128)
+        cx, cy = xs.mean(), ys.mean()
+        errs.append(np.hypot(ann[0][1] - cx, ann[0][2] - cy))
+    assert errs and float(np.mean(errs)) < 1.5, errs
+
+
+@pytest.fixture(scope="module")
+def session_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_sess") / "Synthetic"
+    generate_synthetic_dataset(str(root), fingers_per_split=(3, 3, 2),
+                               n_pores=80, seed=2, size=(240, 200),
+                               sessions=2, stances=2)
+    return str(root)
+
+
+def test_multi_impression_generator(session_root):
+    import os
+    files = sorted(os.listdir(os.path.join(session_root, "R4")))
+    stems = {f[:-4] for f in files if f.endswith(".jpg")}
+    # 3 test fingers x 2 sessions x 2 stances
+    assert len(stems) == 12
+    assert any(s.endswith("_1_1") for s in stems)
+    # impressions of one finger share canonical pore ids with partial overlap
+    from fpmatch_tpu.data.generator import render_impression
+    _, p1, id1 = render_impression(11, 1001)
+    _, p2, id2 = render_impression(11, 2002)
+    shared = set(id1[id1 >= 0]) & set(id2[id2 >= 0])
+    assert 10 < len(shared) < min((id1 >= 0).sum(), (id2 >= 0).sum())
+
+
+def test_session_benchmark_protocol(session_root, tmp_path):
+    bm = make_benchmark("Synthetic", "test", root=str(session_root),
+                        task="classify")
+    pairs = bm.classify_pairs()
+    genuine = [p for p in pairs if bm.is_genuine(*p)]
+    imposter = [p for p in pairs if not bm.is_genuine(*p)]
+    assert genuine and imposter
+    # genuine pairs cross sessions (never the same image twice)
+    assert all(a != b for a, b in genuine)
+    for a, b in genuine[:4]:
+        assert a.rsplit("_", 2)[0] == b.rsplit("_", 2)[0]   # same finger
+        assert a.rsplit("_", 2)[1] != b.rsplit("_", 2)[1]   # different session
+
+
+def test_cross_impression_pair_has_partial_gt(session_root, tmp_path, cfg):
+    bm = make_benchmark("Synthetic", "test", root=str(session_root),
+                        task="match")
+    pd = PairDataset(bm, cfg, augment=False)
+    cross = next(i for i, p in enumerate(pd.pairs)
+                 if p[0] != p[1] and bm.is_genuine(*p))
+    s = pd.get(cross)
+    n1, n2 = len(s.points[0]), len(s.points[1])
+    assert s.perm.shape == (n1, n2)
+    k = s.perm.sum()
+    assert 0 < k <= min(n1, n2)          # partial overlap: not a full perm
+    assert (s.perm.sum(0) <= 1).all() and (s.perm.sum(1) <= 1).all()
+
+
 def test_imposter_pair_zero_perm(synth_root, tmp_path, cfg):
     ds = L3SFV2AugmentedDataset("train", root=synth_root,
                                 output_dir=str(tmp_path / "idx5"),
