@@ -15,10 +15,16 @@ target. Extra fields beyond the required four give the full picture.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import numpy as np
+
+
+def note(msg):
+    """Progress + health markers on stderr (stdout carries only the JSON)."""
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def steady_seconds(fn, *args, iters=20, repeats=3):
@@ -96,8 +102,13 @@ def bench_train_step(cfg, model, variables, batch, iters=10):
     return batch.batch_size / dt
 
 
-def bench_pallas_spmm(cfg, batch, iters=50):
-    """Pallas fused kernel edges/s (same contract as bench_spmm)."""
+def bench_pallas_spmm(cfg, batch, iters=50, precision="highest"):
+    """Pallas fused kernel edges/s (same contract as bench_spmm).
+
+    MUST run before any scatter-containing XLA program executes in this
+    process (see kernels/assoc_pallas.py module docstring: first-Pallas-
+    compile-after-scatter permanently slows every pallas_call ~350x on the
+    axon runtime — this was the round-1 driver-bench collapse)."""
     import jax.numpy as jnp
     from fpmatch_tpu.kernels.assoc_pallas import assoc_matvec_pallas
 
@@ -114,7 +125,8 @@ def bench_pallas_spmm(cfg, batch, iters=50):
     # X/Kp blocks per (batch, step) and collapse throughput ~600x
     f = jax.jit(jax.vmap(lambda x, kp, ke, s1, d1, s2, d2:
                          assoc_matvec_pallas(x, kp, ke, s1, d1, s2, d2,
-                                             transpose=True, block_e1=E)))
+                                             transpose=True, block_e1=E,
+                                             precision=precision)))
     args = (X, Kp, Ke, batch.src[:, 0], batch.dst[:, 0], batch.src[:, 1],
             batch.dst[:, 1])
     try:
@@ -130,36 +142,75 @@ def bench_pallas_spmm(cfg, batch, iters=50):
     return nnz / dt
 
 
-def main():
+def run_stage(stage: str) -> dict:
+    """Run one bench family and return its fields.
+
+    Stages exist to be run in SEPARATE PROCESSES: on the axon tunnel
+    runtime, mixing Mosaic (Pallas) and large XLA programs in one process
+    flips the process into a permanent ~33 ms/dispatch synchronous mode —
+    whichever family runs second collapses ~300x (this is what produced
+    the bogus 16.6M pallas number in BENCH_r01.json, and a bogus 204
+    pairs/s forward when the order was flipped). Subprocess isolation
+    makes the numbers order-independent.
+    """
     from fpmatch_tpu.core.config import Config
     from fpmatch_tpu.models.ngm import NGMNet
     from fpmatch_tpu.data.synthetic import synthetic_pair_batch
 
     cfg = Config()
-    model = NGMNet(cfg)
     batch = synthetic_pair_batch(cfg, batch_size=8, genuine_ratio=0.5, seed=0)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
-    pairs_per_s, out = bench_forward(cfg, model, variables, batch)
-    train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
-    edges_per_s = bench_spmm(cfg, batch)
-    pallas_edges_per_s = bench_pallas_spmm(cfg, batch)
+    if stage == "pallas":
+        v = bench_pallas_spmm(cfg, batch, precision="highest")
+        note(f"pallas f32: {v:.3e}")
+        return {"assoc_spmm_pallas_edges_per_s": round(v, 0) if v else None}
+    if stage == "spmm":
+        v = bench_spmm(cfg, batch)
+        note(f"xla spmm: {v:.3e}")
+        return {"assoc_spmm_edges_per_s": round(v, 0)}
+    if stage == "model":
+        model = NGMNet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        pairs_per_s, _ = bench_forward(cfg, model, variables, batch)
+        note(f"forward: {pairs_per_s:.1f}")
+        train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
+        note(f"train: {train_pairs_per_s:.1f}")
+        return {
+            "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
+            "value": round(pairs_per_s, 2),
+            "unit": "pairs/s",
+            "vs_baseline": round(
+                pairs_per_s / (TARGET_MULTIPLier * REF_PAIRS_PER_S_ESTIMATE),
+                2),
+            "train_step_pairs_per_s": round(train_pairs_per_s, 2),
+            "batch_size": int(batch.batch_size),
+            "device": str(jax.devices()[0]),
+        }
+    raise SystemExit(f"unknown stage {stage!r}")
 
-    result = {
-        "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
-        "value": round(pairs_per_s, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(
-            pairs_per_s / (TARGET_MULTIPLier * REF_PAIRS_PER_S_ESTIMATE), 2),
-        "train_step_pairs_per_s": round(train_pairs_per_s, 2),
-        "assoc_spmm_edges_per_s": round(edges_per_s, 0),
-        "assoc_spmm_pallas_edges_per_s": (
-            round(pallas_edges_per_s, 0) if pallas_edges_per_s else None),
-        "batch_size": int(batch.batch_size),
-        "device": str(jax.devices()[0]),
-    }
+
+def main():
+    import subprocess
+
+    result: dict = {}
+    # model last so its headline fields come from the freshest chip state;
+    # each stage is a fresh process (see run_stage docstring)
+    for stage in ("pallas", "spmm", "model"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--stage", stage],
+            capture_output=True, text=True, timeout=1800)
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else ""
+        if proc.returncode != 0 or not line.startswith("{"):
+            note(f"stage {stage} failed (rc={proc.returncode})")
+            continue
+        result.update(json.loads(line))
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        print(json.dumps(run_stage(sys.argv[2])))
+    else:
+        main()

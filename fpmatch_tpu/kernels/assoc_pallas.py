@@ -28,6 +28,15 @@ shards the same E1 axis across chips).
 
 Index vectors ride in VMEM as (E, 1) int32 (SMEM only serves scalar loads).
 Padding contract: padded e1/e2 slots must carry Ke == 0 (they alias node 0).
+
+RUNTIME TRAP (axon PJRT, empirically characterized in round 2): if the FIRST
+Mosaic/Pallas compilation in a process happens after an XLA program containing
+scatter ops has executed, every pallas_call in that process dispatches at
+~33 ms flat (~350x slow) — permanently; jax.clear_caches() + recompile does
+not recover. Compiling any Pallas kernel BEFORE the first scatter program
+makes all subsequent Pallas programs fast, even ones compiled later. Call
+`inoculate()` early in any process that mixes Pallas kernels with XLA
+scatter/segment-sum programs (bench.py does).
 """
 from __future__ import annotations
 
@@ -39,6 +48,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def inoculate():
+    """Compile + run one trivial Pallas kernel. See the module docstring:
+    on the axon runtime the first Pallas compilation must precede the first
+    XLA scatter execution or every pallas_call runs ~350x slow forever."""
+    def k(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1.0
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x))
+
+
 def _one_hot(idx_col, size, dtype):
     """idx_col: (L, 1) int32 → (L, size) one-hot (2D iota for TPU)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], size), 1)
@@ -46,30 +69,29 @@ def _one_hot(idx_col, size, dtype):
 
 
 # HIGHEST precision: the MXU's default bf16 input rounding costs ~1% absolute
-# error vs the f32 segment-sum reference; 3-pass f32 matmuls restore parity
-_PREC = jax.lax.Precision.HIGHEST
-
-
-def _mm(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               precision=_PREC,
-                               preferred_element_type=jnp.float32)
+# error vs the f32 segment-sum reference; 3-pass f32 matmuls restore parity.
+# DEFAULT (single bf16 pass) is ~3x the MXU throughput — the production mode
+# for GNN aggregation where bf16 message precision is standard.
+_PRECS = {"highest": jax.lax.Precision.HIGHEST,
+          "default": jax.lax.Precision.DEFAULT}
 
 
 def _kernel(x_ref, kp_ref, ke_ref, g1_ref, s1_ref, g2_ref, s2_ref,
             y_ref, xg2_ref, acc_ref,
-            *, n1: int, n2: int, c: int, e2: int):
+            *, n1: int, n2: int, c: int, e2: int, prec):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
+
+    def _mm(a, b, dims=(((1,), (0,)), ((), ()))):
+        return jax.lax.dot_general(a, b, dims, precision=prec,
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(step == 0)
     def _init():
         oh_g2_t = _one_hot(g2_ref[...], n2, x_ref.dtype)  # (E2, N2)
         for ch in range(c):
             # XG2[ch] = X[ch] @ OneHot(g2)ᵀ : (N1, N2) @ (N2, E2)
-            xg2_ref[ch] = jax.lax.dot_general(
-                x_ref[ch], oh_g2_t, (((1,), (1,)), ((), ())),
-                precision=_PREC, preferred_element_type=jnp.float32)
+            xg2_ref[ch] = _mm(x_ref[ch], oh_g2_t, (((1,), (1,)), ((), ())))
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     ke = ke_ref[...]                                     # (B, E2)
@@ -80,9 +102,7 @@ def _kernel(x_ref, kp_ref, ke_ref, g1_ref, s1_ref, g2_ref, s2_ref,
     for ch in range(c):
         rows = _mm(oh_g1, xg2_ref[ch])                   # (B, E2)
         t = _mm(rows * ke, oh_s2)                        # (B, N2)
-        contrib = jax.lax.dot_general(                   # (N1, N2)
-            oh_s1, t, (((0,), (0,)), ((), ())),
-            precision=_PREC, preferred_element_type=jnp.float32)
+        contrib = _mm(oh_s1, t, (((0,), (0,)), ((), ())))  # (N1, N2)
         acc_ref[ch] += contrib
 
     @pl.when(step == nsteps - 1)
@@ -93,14 +113,17 @@ def _kernel(x_ref, kp_ref, ke_ref, g1_ref, s1_ref, g2_ref, s2_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("transpose", "block_e1", "interpret"))
+                   static_argnames=("transpose", "block_e1", "precision",
+                                    "interpret"))
 def assoc_matvec_pallas(X, Kp, Ke, src1, dst1, src2, dst2, *,
                         transpose: bool = False, block_e1: int = 128,
+                        precision: str = "highest",
                         interpret: bool = False):
     """Pallas K·vec(X) / Kᵀ·vec(X) for one pair.
 
     Same contract as ops.assoc.assoc_matvec. X: (N1, N2, C); Ke: (E1, E2).
-    E1 must be divisible by block_e1.
+    E1 must be divisible by block_e1. precision="highest" is f32-exact
+    (3-pass MXU); "default" is single-pass bf16 (~1e-2 rel error, ~3x faster).
     """
     n1, n2, c = X.shape
     e1, e2 = Ke.shape
@@ -112,7 +135,8 @@ def assoc_matvec_pallas(X, Kp, Ke, src1, dst1, src2, dst2, *,
     grid = (e1 // block_e1,)
     xc = jnp.transpose(X, (2, 0, 1))                      # (C, N1, N2)
     out = pl.pallas_call(
-        functools.partial(_kernel, n1=n1, n2=n2, c=c, e2=e2),
+        functools.partial(_kernel, n1=n1, n2=n2, c=c, e2=e2,
+                          prec=_PRECS[precision]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((c, n1, n2), lambda i: (0, 0, 0),
