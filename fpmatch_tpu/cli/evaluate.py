@@ -86,7 +86,14 @@ def main(argv=None):
     eval_step = make_eval_step(model, stage)
     labels, scores, k_probs, n_mins = [], [], [], []
     viz_saved = 0
-    for batch in loader:
+    n_batches = len(loader)
+    import time as _time
+    t0 = _time.time()
+    for bi, batch in enumerate(loader):
+        if bi % 50 == 0 and bi:
+            rate = bi / (_time.time() - t0)
+            log(f"batch {bi}/{n_batches} ({rate:.2f} batches/s, "
+                f"eta {(n_batches - bi) / max(rate, 1e-9):.0f}s)")
         _, out = eval_step(state, batch)
         labels.append(np.asarray(batch.label))
         scores.append(np.asarray(out["cls_prob"]))

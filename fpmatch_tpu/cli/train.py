@@ -56,6 +56,9 @@ def main(argv=None):
                          "layer2,layer3 for stride-8+16 features")
     ap.add_argument("--passes", type=int, default=3,
                     help="loader passes per epoch (reference uses 3)")
+    ap.add_argument("--numbered-checkpoints", action="store_true",
+                    help="also save a numbered per-epoch snapshot "
+                         "(reference training_loop.py params_epoch_N)")
     ap.add_argument("--smoke", action="store_true",
                     help="generate a tiny synthetic dataset and run 1 epoch "
                          "of stages 1+6 end-to-end")
@@ -138,7 +141,8 @@ def main(argv=None):
     state, history = run_curriculum(
         model, variables, stages, loaders["train"], loaders["val"],
         test_loader=loaders["test"], checkpoint_dir=args.checkpoint_dir,
-        passes_per_epoch=args.passes, log_fn=log)
+        passes_per_epoch=args.passes, log_fn=log,
+        numbered_checkpoints=args.numbered_checkpoints)
 
     report = evaluate_verification(model, state, stages[-1],
                                    loaders["test"])

@@ -34,6 +34,11 @@ class BackboneConfig:
     (stride 16, 256ch), edge features from layer4 (stride 32, 512ch), global
     feature from adaptive max-pool."""
 
+    # feature extractor family: "resnet18" (reference default), "vgg16" /
+    # "vgg16_bn" (feature_extractor.py:73-165 alternatives), or "none"
+    # (precomputed per-keypoint features in PairBatch.features — the
+    # non-image pathway the reference stubs out at :166-181)
+    kind: str = "resnet18"
     node_channels: int = 256
     edge_channels: int = 512
     dtype: str = "float32"   # backbone compute dtype ("bfloat16" for speed)
@@ -75,6 +80,11 @@ class NGMConfig:
     # "while any(log_s > 0)" overshoot loop (soft_topk.py:232-241)
     topk_extra_iter: int = 6
     match_cls_channels: Tuple[int, ...] = (16, 32)
+    # third-order (triangle hyperedge) association term. The reference
+    # builds the machinery (gmdataset.py:180-189, spline_conv.py:83-100)
+    # but never turns it on (ngm.py:255 passes hyperedge=False); here the
+    # pathway is functional and gated, default-off for parity.
+    hyperedge: bool = False
 
 
 @dataclass(frozen=True)

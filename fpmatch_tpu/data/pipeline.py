@@ -20,7 +20,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import cv2
 import numpy as np
 
-from ..core.build_graphs import build_edges, permute_edges
+from ..core.build_graphs import (build_edges, delaunay_triangles,
+                                 permute_edges)
 from ..core.config import Config
 from .augmentation import (augment_image_pair, augment_two_images,
                            standardize)
@@ -48,6 +49,7 @@ class PairSample:
     perm: np.ndarray                           # (n1, n2)
     label: float
     cls: Tuple[str, str]
+    tris: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (t_i, 3) ×2
 
 
 class PairDataset:
@@ -165,11 +167,18 @@ class PairDataset:
         s1, d1 = s1[:e_max], d1[:e_max]
         s2, d2 = s2[:e_max], d2[:e_max]
 
+        tris = None
+        if cfg.ngm.hyperedge:
+            t_max = cfg.shapes.t_max
+            tris = (delaunay_triangles(P1)[:t_max],
+                    delaunay_triangles(P2)[:t_max])
+
         return PairSample(images=(i1, i2), points=(P1, P2),
                           edges=((s1, d1), (s2, d2)), perm=perm,
                           label=label,
                           cls=(self.bench.data_dict[pair[0]]["cls"],
-                               self.bench.data_dict[pair[1]]["cls"]))
+                               self.bench.data_dict[pair[1]]["cls"]),
+                          tris=tris)
 
 
 # ---------------------------------------------------------------- collation
@@ -194,6 +203,12 @@ def collate(samples: Sequence[PairSample], cfg: Config):
     gt_perm = np.zeros((B, N, N), np.float32)
     label = np.zeros((B,), np.float32)
 
+    hyper = cfg.ngm.hyperedge
+    if hyper:
+        T = cfg.shapes.t_max
+        tri = np.zeros((B, 2, T, 3), np.int32)
+        n_tris = np.zeros((B, 2), np.int32)
+
     for b, s in enumerate(samples):
         for v in range(2):
             img = s.images[v].astype(np.float32) / 255.0
@@ -206,13 +221,21 @@ def collate(samples: Sequence[PairSample], cfg: Config):
             src[b, v, :len(sv)] = sv
             dst[b, v, :len(dv)] = dv
             n_edges[b, v] = len(sv)
+            if hyper and s.tris is not None:
+                tv = s.tris[v]
+                tri[b, v, :len(tv)] = tv
+                n_tris[b, v] = len(tv)
         p = s.perm[:N, :N]
         gt_perm[b, :p.shape[0], :p.shape[1]] = p
         label[b] = s.label
 
-    return PairBatch(*(jnp.asarray(a) for a in (
+    batch = PairBatch(*(jnp.asarray(a) for a in (
         images, points, n_nodes, src, dst, n_edges, gt_perm, label,
         gt_perm.sum((1, 2)).astype(np.float32))))
+    if hyper:
+        batch = batch._replace(tri=jnp.asarray(tri),
+                               n_tris=jnp.asarray(n_tris))
+    return batch
 
 
 class DataLoader:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.build_graphs import build_edges
+from ..core.build_graphs import build_edges, delaunay_triangles
 from ..core.config import Config
 
 
@@ -35,6 +35,11 @@ def synthetic_pair_batch(cfg: Config, batch_size: int, *, genuine_ratio=1.0,
     n_edges = np.zeros((B, 2), np.int32)
     gt_perm = np.zeros((B, N, N), np.float32)
     label = np.zeros((B,), np.float32)
+    hyper = cfg.ngm.hyperedge
+    if hyper:
+        T = cfg.shapes.t_max
+        tri = np.zeros((B, 2, T, 3), np.int32)
+        n_tris = np.zeros((B, 2), np.int32)
 
     for b in range(B):
         genuine = rng.uniform() < genuine_ratio
@@ -56,9 +61,17 @@ def synthetic_pair_batch(cfg: Config, batch_size: int, *, genuine_ratio=1.0,
             dst[b, v, :len(d)] = d
             n_nodes[b, v] = nv
             n_edges[b, v] = len(s)
+            if hyper:
+                tv = delaunay_triangles(P)[:cfg.shapes.t_max]
+                tri[b, v, :len(tv)] = tv
+                n_tris[b, v] = len(tv)
         if genuine:
             gt_perm[b, :n, :n] = np.eye(n)
 
-    return PairBatch(*(jnp.asarray(a) for a in (
+    batch = PairBatch(*(jnp.asarray(a) for a in (
         images, points, n_nodes, src, dst, n_edges, gt_perm, label,
         gt_perm.sum((1, 2)).astype(np.float32))))
+    if hyper:
+        batch = batch._replace(tri=jnp.asarray(tri),
+                               n_tris=jnp.asarray(n_tris))
+    return batch

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.spline import spline_conv
-from ..ops.assoc import assoc_aggregate_mean
+from ..ops.assoc import (assoc_aggregate_mean, assoc_tri_degree,
+                         assoc_tri_matvec)
 from ..ops.sinkhorn import sinkhorn
 
 
@@ -80,10 +81,12 @@ class AssocGNNLayer(nn.Module):
     sk_channel: int = 1
     sk_iter: int = 20
     sk_tau: float = 0.05
+    hyperedge: bool = False
 
     @nn.compact
     def __call__(self, X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
-                 kp_present, e1_mask, e2_mask, n1, n2):
+                 kp_present, e1_mask, e2_mask, n1, n2,
+                 Kt=None, tri1=None, tri2=None, t1_mask=None, t2_mask=None):
         """X: (N1, N2, C_in) association node features (single pair)."""
         agg = assoc_aggregate_mean(X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
                                    kp_present, e1_mask, e2_mask,
@@ -91,6 +94,13 @@ class AssocGNNLayer(nn.Module):
         x1 = nn.Dense(self.out_features, name="lin_l")(agg)
         x1 = x1 + nn.Dense(self.out_features, use_bias=False,
                            name="lin_r")(X)
+        if self.hyperedge:
+            tdeg = assoc_tri_degree(t1_mask, t2_mask, tri1, tri2,
+                                    X.shape[0], X.shape[1])
+            tagg = assoc_tri_matvec(X, Kt, tri1, tri2) \
+                / jnp.maximum(tdeg, 1.0)[..., None]
+            x1 = x1 + nn.Dense(self.out_features, use_bias=False,
+                               name="lin_t")(tagg)
         h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
         h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
         x1 = x1 + h

@@ -51,6 +51,14 @@ class PairBatch(NamedTuple):
     gt_perm: jnp.ndarray     # (B, N, N) float32
     label: jnp.ndarray       # (B,) float32 genuine=1/imposter=0
     gt_k: jnp.ndarray        # (B,) float32
+    # triangle hyperedges (only populated when cfg.ngm.hyperedge; None
+    # otherwise — None fields are empty pytree nodes, so jit/tree_map skip
+    # them)
+    tri: Optional[jnp.ndarray] = None      # (B, 2, T, 3) int32
+    n_tris: Optional[jnp.ndarray] = None   # (B, 2) int32
+    # precomputed per-keypoint features for the non-image pathway
+    # (cfg.backbone.kind == "none"); images are ignored when set
+    features: Optional[jnp.ndarray] = None  # (B, 2, N, F) float32
 
     @property
     def batch_size(self):
@@ -84,35 +92,60 @@ class NGMNet(nn.Module):
         E = batch.src.shape[2]
         rescale_max = float(max(self.cfg.data.rescale))
 
-        # ---- backbone over all images at once (MXU batch) ----------------
-        # compute dtype from config: bfloat16 doubles MXU throughput and
-        # halves HBM traffic; params and everything downstream stay fp32
-        bb_dtype = jnp.bfloat16 if self.cfg.backbone.dtype == "bfloat16" \
-            else jnp.float32
-        imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
-        node_maps, edges_map, global_feat = ResNet18Backbone(
-            dtype=bb_dtype, node_taps=self.cfg.backbone.node_taps,
-            stem_channels=self.cfg.backbone.stem_channels,
-            stage_channels=self.cfg.backbone.stage_channels,
-            blocks_per_stage=self.cfg.backbone.blocks_per_stage,
-            name="backbone")(imgs, train=train)
-        node_maps = [normalize_over_channels(m.astype(jnp.float32))
-                     for m in node_maps]
-        edges_map = normalize_over_channels(edges_map.astype(jnp.float32))
-        global_feat = global_feat.astype(jnp.float32)
-
-        # ---- bilinear alignment at keypoints -----------------------------
-        pts = batch.points.reshape(B * 2, N, 2)
-        aligned = [jax.vmap(lambda f, p: feature_align(
-            f, p, self.cfg.data.rescale))(m, pts) for m in node_maps]
-        F = jax.vmap(lambda f, p: feature_align(f, p, self.cfg.data.rescale)
-                     )(edges_map, pts)
-        node_feat = jnp.concatenate(aligned + [F], axis=-1)  # (B*2, N, 768+)
-
         node_mask = (jnp.arange(N)[None, :]
                      < batch.n_nodes.reshape(B * 2)[:, None])
         edge_mask = (jnp.arange(E)[None, :]
                      < batch.n_edges.reshape(B * 2)[:, None])
+        pts = batch.points.reshape(B * 2, N, 2)
+
+        kind = self.cfg.backbone.kind
+        if kind == "none":
+            # ---- non-image pathway: precomputed keypoint features --------
+            from .vgg import NoBackbone
+
+            feats = batch.features.reshape(B * 2, N, -1)
+            node_feat, global_feat = NoBackbone(
+                out_dim=cfg.node_feature_dim,
+                global_dim=cfg.global_state_dim // 2,
+                name="backbone")(feats, node_mask.astype(feats.dtype),
+                                 train=train)
+        else:
+            # ---- backbone over all images at once (MXU batch) ------------
+            # compute dtype from config: bfloat16 doubles MXU throughput and
+            # halves HBM traffic; params/downstream stay fp32
+            bb_dtype = jnp.bfloat16 \
+                if self.cfg.backbone.dtype == "bfloat16" else jnp.float32
+            imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
+            if kind == "resnet18":
+                node_maps, edges_map, global_feat = ResNet18Backbone(
+                    dtype=bb_dtype, node_taps=self.cfg.backbone.node_taps,
+                    stem_channels=self.cfg.backbone.stem_channels,
+                    stage_channels=self.cfg.backbone.stage_channels,
+                    blocks_per_stage=self.cfg.backbone.blocks_per_stage,
+                    name="backbone")(imgs, train=train)
+                node_maps = list(node_maps)
+            elif kind in ("vgg16", "vgg16_bn"):
+                from .vgg import VGG16Backbone
+
+                nodes, edges_map, global_feat = VGG16Backbone(
+                    batch_norm=(kind == "vgg16_bn"), dtype=bb_dtype,
+                    name="backbone")(imgs, train=train)
+                node_maps = [nodes]
+            else:
+                raise ValueError(f"unknown backbone kind: {kind!r}")
+            node_maps = [normalize_over_channels(m.astype(jnp.float32))
+                         for m in node_maps]
+            edges_map = normalize_over_channels(
+                edges_map.astype(jnp.float32))
+            global_feat = global_feat.astype(jnp.float32)
+
+            # ---- bilinear alignment at keypoints -------------------------
+            aligned = [jax.vmap(lambda f, p: feature_align(
+                f, p, self.cfg.data.rescale))(m, pts) for m in node_maps]
+            F = jax.vmap(lambda f, p: feature_align(
+                f, p, self.cfg.data.rescale))(edges_map, pts)
+            node_feat = jnp.concatenate(aligned + [F], axis=-1)
+
         node_feat = node_feat * node_mask[..., None]
 
         # ---- spline-conv message passing per graph -----------------------
@@ -150,20 +183,47 @@ class NGMNet(nn.Module):
                                         name="edge_aff")(
             edge_feat[:, 0], edge_feat[:, 1], global_w, mask=emask)
 
+        # ---- third-order (triangle) affinities, config-gated --------------
+        # the reference builds this machinery but never enables it
+        # (ngm.py:255 hyperedge=False); here it is functional — see
+        # ops.assoc.assoc_tri_matvec
+        if cfg.hyperedge:
+            from ..ops.spline import hyperedge_angle_attrs
+
+            T = batch.tri.shape[2]
+            tri_flat = batch.tri.reshape(B * 2, T, 3)
+            tri_mask = (jnp.arange(T)[None, :]
+                        < batch.n_tris.reshape(B * 2)[:, None])
+            tri_attr = jax.vmap(hyperedge_angle_attrs)(
+                x.reshape(B * 2, N, -1), tri_flat,
+                tri_mask.astype(x.dtype))
+            tri_attr = tri_attr.reshape(B, 2, T, 3)
+            tri_mask = tri_mask.reshape(B, 2, T)
+            tmask = tri_mask[:, 0, :, None] & tri_mask[:, 1, None, :]
+            Kt = 0.5 * InnerProductAffinity(3, name="tri_aff")(
+                tri_attr[:, 0], tri_attr[:, 1], global_w,
+                mask=tmask.astype(x.dtype))
+            tri_extra = (Kt, batch.tri[:, 0], batch.tri[:, 1],
+                         tri_mask[:, 0], tri_mask[:, 1])
+        else:
+            tri_extra = ()
+
         # ---- association-graph GNN ---------------------------------------
         emb = Kp[..., None] if cfg.first_order else jnp.ones(
             (B, N, N, 1), Kp.dtype)
         kp_present = vmask.astype(Kp.dtype)
         for i in range(cfg.gnn_layers):
-            layer = _vmapped(AssocGNNLayer, 12,
+            layer = _vmapped(AssocGNNLayer, 12 + len(tri_extra),
                              out_features=cfg.gnn_feat[i],
                              sk_channel=cfg.sk_emb,
                              sk_iter=cfg.sk_layer_iter,
                              sk_tau=cfg.sk_tau,
+                             hyperedge=cfg.hyperedge,
                              name=f"gnn_{i}")
             emb = layer(emb, Kp, Ke, batch.src[:, 0], batch.dst[:, 0],
                         batch.src[:, 1], batch.dst[:, 1], kp_present,
-                        edge_mask[:, 0], edge_mask[:, 1], n1, n2)
+                        edge_mask[:, 0], edge_mask[:, 1], n1, n2,
+                        *tri_extra)
 
         # ---- scores + Sinkhorn -------------------------------------------
         s = nn.Dense(1, name="classifier")(emb)[..., 0]     # (B, N, N)

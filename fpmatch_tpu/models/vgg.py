@@ -45,11 +45,27 @@ class VGG16Backbone(nn.Module):
 
 
 class NoBackbone(nn.Module):
-    """Pass-through for precomputed per-node features (reference
-    NoBackbone): images are ignored; callers feed node features directly."""
+    """Functional non-image pathway (the reference's NoBackbone,
+    feature_extractor.py:166-181, is itself a raising stub — here the
+    pathway actually works). Consumes precomputed per-keypoint features
+    (B, N, F) instead of images and synthesizes the (node_feat, global)
+    pair the matcher head expects: node features pass through a Dense
+    projection to `out_dim`, the global descriptor is a masked max-pool
+    projected to `global_dim`."""
+
+    out_dim: int = 768
+    global_dim: int = 512
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        raise NotImplementedError(
-            "NoBackbone carries no compute; feed precomputed node features "
-            "to the matcher head directly")
+    def __call__(self, feats: jnp.ndarray, node_mask: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """:param feats: (B, N, F) precomputed keypoint features
+        :param node_mask: (B, N) validity
+        :return: node features (B, N, out_dim), global (B, global_dim)"""
+        x = nn.Dense(self.out_dim, name="proj")(feats)
+        x = x * node_mask[..., None]
+        neg = jnp.where(node_mask[..., None] > 0, x, -jnp.inf)
+        pooled = jnp.max(neg, axis=1)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        g = nn.Dense(self.global_dim, name="global")(pooled)
+        return x, g

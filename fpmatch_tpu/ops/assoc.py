@@ -146,6 +146,55 @@ def assoc_aggregate_mean(X, Kp, Ke, src1, dst1, src2, dst2,
     return y / jnp.maximum(deg, 1.0)[..., None]
 
 
+def assoc_tri_matvec(X: jnp.ndarray, Kt: jnp.ndarray, tri1, tri2
+                     ) -> jnp.ndarray:
+    """Third-order (hyperedge) association propagation.
+
+    The reference builds triangle hyperedges (gmdataset.py:180-189) and
+    triangle-angle attributes (spline_conv.py:83-100) but its Net.forward
+    never enables them (`hyperedge=False` at ngm.py:255); this op makes the
+    pathway actually usable. For each pair of triangles (t1, t2) with
+    affinity Kt[t1, t2] and each corner rotation r, the corner match
+    (a1, a2) receives the mean of its partner-corner features:
+
+        Y[a1, a2] += Kt[t1, t2] · (X[b1, b2] + X[c1, c2]) / 2
+
+    Separable gather/segment-sum structure identical to `assoc_matvec`
+    (the hyperedge set is the outer product of the two triangle lists), so
+    it vectorizes on TPU the same way. Symmetric in the corner rotation —
+    no transpose variant needed.
+
+    :param X:   (N1, N2, C) association node features
+    :param Kt:  (T1, T2) triangle-pair affinities; padded slots MUST carry
+                Kt == 0 (they alias node 0)
+    :param tri1: (T1, 3) int32 triangle corners of graph 1
+    :param tri2: (T2, 3) int32 triangle corners of graph 2
+    :return: (N1, N2, C)
+    """
+    n1, n2, _ = X.shape
+    Y = jnp.zeros_like(X)
+    for r in range(3):
+        a1, b1, c1 = tri1[:, r], tri1[:, (r + 1) % 3], tri1[:, (r + 2) % 3]
+        a2, b2, c2 = tri2[:, r], tri2[:, (r + 1) % 3], tri2[:, (r + 2) % 3]
+        W = 0.5 * (X[b1][:, b2] + X[c1][:, c2])          # (T1, T2, C)
+        W = W * Kt[..., None]
+        T = _segment_sum(jnp.swapaxes(W, 0, 1), a2, n2)  # (N2, T1, C)
+        Y = Y + _segment_sum(jnp.swapaxes(T, 0, 1), a1, n1)
+    return Y
+
+
+def assoc_tri_degree(t1_mask, t2_mask, tri1, tri2, n1: int, n2: int
+                     ) -> jnp.ndarray:
+    """Hyperedge count per association node (normalizer for mean
+    aggregation over `assoc_tri_matvec`): Σ_r tdeg1_r(i1) · tdeg2_r(i2)."""
+    deg = jnp.zeros((n1, n2), jnp.float32)
+    for r in range(3):
+        d1 = _segment_sum(t1_mask.astype(jnp.float32), tri1[:, r], n1)
+        d2 = _segment_sum(t2_mask.astype(jnp.float32), tri2[:, r], n2)
+        deg = deg + d1[:, None] * d2[None, :]
+    return deg
+
+
 def assoc_dense(Kp, Ke, src1, dst1, src2, dst2, n1: int, n2: int):
     """Materialize K densely (test/reference path only; replaces the dense
     `construct_aff_mat`/RebuildFGM path, factorize_graph_matching.py:10-54).

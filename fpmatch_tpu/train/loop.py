@@ -52,7 +52,7 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
                 passes_per_epoch: int = 3, eval_every: int = 5,
                 early_stop_patience: int = 10,
                 log_fn: Callable[[str], None] = logger.info,
-                metrics_logger=None):
+                metrics_logger=None, numbered_checkpoints: bool = False):
     """Run one curriculum stage; returns (state, history)."""
     train_step = make_train_step(model, stage)
     eval_step = make_eval_step(model, stage)
@@ -119,6 +119,13 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
         if checkpoint_dir:
             save_checkpoint(checkpoint_dir, f"{stage.name}_last", state,
                             extra={"stage": stage.name, "epoch": epoch})
+            if numbered_checkpoints:
+                # per-epoch numbered snapshots (reference
+                # training_loop.py:117-122 params_epoch_N); off by default —
+                # best/last cover resume, numbered covers forensics
+                save_checkpoint(checkpoint_dir,
+                                f"{stage.name}_epoch{epoch:04d}", state,
+                                extra={"stage": stage.name, "epoch": epoch})
 
         if test_loader is not None and (epoch + 1) % eval_every == 0:
             # periodic eval is advisory — a transient device/tunnel error

@@ -1,0 +1,73 @@
+"""Two-process jax.distributed CPU test — exercises parallel/distributed.py
+for real (multi-process mesh, cross-process collective, global batch
+assembly), not just the single-process fallback.
+
+Reference has no distributed backend at all (SURVEY.md §2.4); this validates
+the multi-host pathway the TPU framework adds.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from fpmatch_tpu.parallel.distributed import (global_batch_from_local,
+                                                  initialize, make_hybrid_mesh)
+
+    initialize()          # reads COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    assert jax.process_count() == 2, jax.process_count()
+    pid = jax.process_index()
+
+    # 2 processes x 2 local devices -> (data=4, edge=1) global mesh
+    mesh = make_hybrid_mesh(4, 1)
+    local = {"x": np.full((2, 3), float(pid), np.float32)}
+    g = global_batch_from_local(local, mesh)
+    assert g["x"].shape == (4, 3), g["x"].shape
+
+    with mesh:
+        total = jax.jit(
+            lambda x: jax.numpy.sum(x),
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))(g["x"])
+    # rows 0-1 are process 0 (zeros), rows 2-3 process 1 (ones) -> sum 6
+    np.testing.assert_allclose(np.asarray(total), 6.0)
+    print(f"proc{pid} OK", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_psum(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            COORDINATOR_ADDRESS=addr,
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert f"proc{pid} OK" in out

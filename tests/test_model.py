@@ -45,6 +45,68 @@ def make_batch(rng, B=2, N=12, E=64, H=64, W=96, n_valid=(8, 8)):
                         gt_perm, label, gt_k)))
 
 
+def test_hyperedge_path_runs_and_contributes(rng=None):
+    """cfg.ngm.hyperedge=True: triangle affinities flow through the assoc
+    GNN (finite outputs, and zeroing Kt's input changes the scores)."""
+    import dataclasses
+
+    from fpmatch_tpu.core.build_graphs import delaunay_triangles
+
+    rng = np.random.default_rng(3)
+    cfg = tiny_config()
+    cfg = cfg.replace(ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
+    batch = make_batch(rng)
+    T = cfg.shapes.t_max
+    B = batch.batch_size
+    tri = np.zeros((B, 2, T, 3), np.int32)
+    n_tris = np.zeros((B, 2), np.int32)
+    pts = np.asarray(batch.points)
+    nn_ = np.asarray(batch.n_nodes)
+    for b in range(B):
+        for v in range(2):
+            tv = delaunay_triangles(pts[b, v, :nn_[b, v]])[:T]
+            tri[b, v, :len(tv)] = tv
+            n_tris[b, v] = len(tv)
+    batch = batch._replace(tri=jnp.asarray(tri), n_tris=jnp.asarray(n_tris))
+
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["raw_scores"])).all()
+    assert np.isfinite(np.asarray(out["cls_prob"])).all()
+    # a hyperedge-free run (no triangles) must differ: the tri term is live
+    empty = batch._replace(n_tris=jnp.zeros_like(batch.n_tris))
+    out0 = model.apply(variables, empty, train=False)
+    assert not np.allclose(np.asarray(out["raw_scores"]),
+                           np.asarray(out0["raw_scores"]))
+
+
+def test_nobackbone_precomputed_features_pathway():
+    """cfg.backbone.kind='none': the matcher runs on precomputed keypoint
+    features with dummy 1x1 images (the reference's NoBackbone,
+    feature_extractor.py:166-181, raises; ours works)."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    cfg = tiny_config()
+    cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone,
+                                                   kind="none"))
+    batch = make_batch(rng, H=1, W=1)
+    F = cfg.ngm.node_feature_dim
+    feats = rng.normal(size=(batch.batch_size, 2, 12, 64)
+                       ).astype(np.float32)
+    batch = batch._replace(features=jnp.asarray(feats))
+
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert out["cls_prob"].shape == (batch.batch_size,)
+    assert np.isfinite(np.asarray(out["raw_scores"])).all()
+    assert "backbone" in variables["params"]
+    # no conv stacks were created — the pathway really skipped the CNN
+    assert set(variables["params"]["backbone"]) == {"proj", "global"}
+
+
 @pytest.fixture(scope="module")
 def model_and_out():
     rng = np.random.default_rng(1)

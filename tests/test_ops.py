@@ -236,6 +236,65 @@ def test_assoc_aggregate_mean_matches_torch_sparse_semantics(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_assoc_tri_matvec_matches_loop_reference(rng):
+    """Third-order hyperedge propagation vs a direct numpy loop."""
+    from fpmatch_tpu.ops.assoc import assoc_tri_matvec
+
+    n1, n2, c, t1, t2 = 7, 6, 3, 5, 4
+    X = rng.normal(size=(n1, n2, c)).astype(np.float32)
+    Kt = rng.normal(size=(t1, t2)).astype(np.float32)
+    tri1 = rng.integers(0, n1, size=(t1, 3)).astype(np.int32)
+    tri2 = rng.integers(0, n2, size=(t2, 3)).astype(np.int32)
+
+    want = np.zeros_like(X)
+    for a in range(t1):
+        for b in range(t2):
+            for r in range(3):
+                i, j = tri1[a, r], tri2[b, r]
+                i2_, j2_ = tri1[a, (r + 1) % 3], tri2[b, (r + 1) % 3]
+                i3_, j3_ = tri1[a, (r + 2) % 3], tri2[b, (r + 2) % 3]
+                want[i, j] += Kt[a, b] * 0.5 * (X[i2_, j2_] + X[i3_, j3_])
+
+    got = np.asarray(assoc_tri_matvec(jnp.asarray(X), jnp.asarray(Kt),
+                                      jnp.asarray(tri1), jnp.asarray(tri2)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_assoc_tri_padded_slots_inert(rng):
+    """Padded triangle slots (Kt == 0) must not perturb the result, and the
+    degree normalizer must count only real triangles."""
+    from fpmatch_tpu.ops.assoc import assoc_tri_degree, assoc_tri_matvec
+
+    n1, n2, c, t1, t2 = 6, 6, 2, 4, 3
+    X = rng.normal(size=(n1, n2, c)).astype(np.float32)
+    Kt = rng.normal(size=(t1, t2)).astype(np.float32)
+    tri1 = rng.integers(0, n1, size=(t1, 3)).astype(np.int32)
+    tri2 = rng.integers(0, n2, size=(t2, 3)).astype(np.int32)
+    base = np.asarray(assoc_tri_matvec(jnp.asarray(X), jnp.asarray(Kt),
+                                       jnp.asarray(tri1), jnp.asarray(tri2)))
+
+    KtP = np.zeros((t1 + 2, t2 + 1), np.float32)
+    KtP[:t1, :t2] = Kt
+    tri1P = np.concatenate([tri1, np.zeros((2, 3), np.int32)])
+    tri2P = np.concatenate([tri2, np.zeros((1, 3), np.int32)])
+    padded = np.asarray(assoc_tri_matvec(
+        jnp.asarray(X), jnp.asarray(KtP), jnp.asarray(tri1P),
+        jnp.asarray(tri2P)))
+    np.testing.assert_allclose(padded, base, rtol=1e-5, atol=1e-6)
+
+    m1 = np.concatenate([np.ones(t1), np.zeros(2)]).astype(np.float32)
+    m2 = np.concatenate([np.ones(t2), np.zeros(1)]).astype(np.float32)
+    deg = np.asarray(assoc_tri_degree(jnp.asarray(m1), jnp.asarray(m2),
+                                      jnp.asarray(tri1P), jnp.asarray(tri2P),
+                                      n1, n2))
+    degw = np.zeros((n1, n2), np.float32)
+    for r in range(3):
+        for a in range(t1):
+            for b in range(t2):
+                degw[tri1[a, r], tri2[b, r]] += 1
+    np.testing.assert_allclose(deg, degw)
+
+
 def test_assoc_matvec_grad_is_bilinear_diag(rng):
     """AD through the factorized matvec must equal the dense-K gradient — the
     replacement for the reference's hand-written bilinear_diag CUDA backward
