@@ -1,0 +1,75 @@
+"""Blocked UNIV-scale Pallas kernel vs the XLA gather path (interpret mode
+on CPU; the TPU bench lives in bench.py/RESULTS.md)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpmatch_tpu.core.build_graphs import build_edges
+from fpmatch_tpu.kernels.assoc_univ import (assoc_matvec_univ,
+                                            gather_ke_blocks, plan_univ)
+from fpmatch_tpu.ops.assoc import assoc_matvec
+
+
+def _pair(rng, n1, n2):
+    p1 = rng.uniform(size=(n1, 2)).astype(np.float32) * [4.0, 1.0]
+    p2 = rng.uniform(size=(n2, 2)).astype(np.float32) * [4.0, 1.0]
+    _, s1, d1 = build_edges(p1, stg="tri")
+    _, s2, d2 = build_edges(p2, stg="tri")
+    return p1, p2, s1, d1, s2, d2
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_univ_blocked_matches_xla(rng, transpose):
+    n1, n2, c = 150, 140, 3
+    p1, p2, s1, d1, s2, d2 = _pair(rng, n1, n2)
+    X = jnp.asarray(rng.normal(size=(n1, n2, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n1, n2)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
+
+    want = assoc_matvec(X, Kp, Ke, s1, d1, s2, d2, transpose=transpose)
+
+    plan = plan_univ(p1, p2, s1, d1, s2, d2, r1=16, r2=128,
+                     transpose=transpose)
+    got = assoc_matvec_univ(X, Kp, Ke, plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_univ_plan_locality_and_spill(rng):
+    """Spatially-sorted Delaunay: the spill set must be a small fraction,
+    and every kept edge's gather endpoint must fit its 3-block window."""
+    n1, n2 = 300, 300
+    p1, p2, s1, d1, s2, d2 = _pair(rng, n1, n2)
+    plan = plan_univ(p1, p2, s1, d1, s2, d2, r1=32, r2=128, transpose=True)
+    assert len(plan.spill1) < 0.05 * len(s1)
+    assert (plan.d1_loc >= 0).all() and (plan.d1_loc < 3 * plan.r1).all()
+    assert (plan.d2_loc >= 0).all() and (plan.d2_loc < 3 * plan.r2).all()
+    # KeR covers exactly the kept edges once
+    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
+    KeR = gather_ke_blocks(Ke, plan)
+    kept1 = plan.e1_idx[plan.e1_idx < len(s1)]
+    assert len(np.unique(kept1)) == len(kept1)
+    assert len(kept1) + len(plan.spill1) == len(s1)
+    assert KeR.shape == (plan.e1_idx.size, plan.e2_idx.size)
+
+
+def test_univ_spill_only_graph_still_exact(rng):
+    """A random (non-local) graph spills heavily but stays exact via the
+    XLA fallback."""
+    n1, n2, c = 40, 40, 2
+    s1 = rng.integers(0, n1, 120).astype(np.int32)
+    d1 = rng.integers(0, n1, 120).astype(np.int32)
+    s2 = rng.integers(0, n2, 110).astype(np.int32)
+    d2 = rng.integers(0, n2, 110).astype(np.int32)
+    p1 = rng.uniform(size=(n1, 2)).astype(np.float32)
+    p2 = rng.uniform(size=(n2, 2)).astype(np.float32)
+    X = jnp.asarray(rng.normal(size=(n1, n2, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n1, n2)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(120, 110)).astype(np.float32))
+    want = assoc_matvec(X, Kp, Ke, s1, d1, s2, d2, transpose=True)
+    plan = plan_univ(p1, p2, s1, d1, s2, d2, r1=8, r2=128, transpose=True)
+    got = assoc_matvec_univ(X, Kp, Ke, plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
