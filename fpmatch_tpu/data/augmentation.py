@@ -129,8 +129,12 @@ def _t_motion_blur(img, annos, rng):
 def _t_noise(img, annos, rng):
     if rng.uniform() < 0.5:
         sigma = rng.uniform(0.5, 2.0)
-        noisy = img.astype(np.float32) + rng.normal(0, sigma, img.shape)
-        out = np.clip(noisy, 0, 255).astype(np.uint8)
+        # float32 generation + in-place ops: ~10x cheaper than the float64
+        # rng.normal path (this transform dominated the loader profile)
+        noise = rng.standard_normal(img.shape, dtype=np.float32)
+        noise *= sigma
+        noise += img
+        out = np.clip(noise, 0, 255, out=noise).astype(np.uint8)
     else:
         out = img.copy()
         amount = rng.uniform(0.003, 0.01)
@@ -145,11 +149,15 @@ def _t_noise(img, annos, rng):
 
 
 def _t_photometric(img, annos, rng):
-    x = img.astype(np.float32) * rng.uniform(0.9, 1.1) + rng.uniform(-20, 20)
-    x = np.clip(x, 0, 255)
+    # gain/bias/gamma composed into one 256-entry LUT (uint8 domain) —
+    # ~100x cheaper than full-image np.power
+    gain = rng.uniform(0.9, 1.1)
+    bias = rng.uniform(-20, 20)
     gamma = rng.uniform(0.8, 1.2)
-    x = np.power(x / 255.0, 1.0 / max(gamma, 1e-6)) * 255.0
-    return np.clip(x, 0, 255).astype(np.uint8), list(annos)
+    lut = np.clip(np.arange(256, dtype=np.float32) * gain + bias, 0, 255)
+    lut = np.power(lut / 255.0, 1.0 / max(gamma, 1e-6)) * 255.0
+    lut = np.clip(lut, 0, 255).astype(np.uint8)
+    return cv2.LUT(img, lut), list(annos)
 
 
 def _t_clahe(img, annos, rng):

@@ -105,6 +105,34 @@ def validate_full_images(model, variables, images, pore_sets, *, window,
     return aggregate_scores(per_image)
 
 
+def final_test_phases(model, variables, test_sets: Dict[str, Tuple], *,
+                      window, probability, nms_iou, log_fn=print
+                      ) -> Dict[str, Dict[str, float]]:
+    """The reference's TEST I / TEST II final-evaluation phases
+    (pore-detection/train.py:694-830): run the kept-best model with the
+    grid-searched (probability, NMS) on each held-out test range and report
+    F-score, true-detection rate (precision) and false-detection rate
+    (1 − recall) per phase.
+
+    :param test_sets: {"test_i": (images, pore_sets), "test_ii": (...)} —
+        any number of named phases (the reference hard-codes two)
+    """
+    reports = {}
+    for name, (images, pore_sets) in test_sets.items():
+        if not images:
+            continue
+        r = validate_full_images(model, variables, images, pore_sets,
+                                 window=window, probability=probability,
+                                 nms_iou=nms_iou)
+        r["true_detection_rate"] = r.get("precision", 0.0)
+        r["false_detection_rate"] = 1.0 - r.get("recall", 0.0)
+        log_fn(f"[poredet] {name.upper()}: F={r['f_score']:.4f} "
+               f"TDR={r['true_detection_rate']:.4f} "
+               f"FDR={r['false_detection_rate']:.4f}")
+        reports[name] = r
+    return reports
+
+
 def grid_search_thresholds(model, variables, images, pore_sets, *, window,
                            probabilities=(0.5, 0.6, 0.65, 0.7, 0.8),
                            nms_ious=(0.1, 0.2, 0.3), log_fn=print) -> Dict:

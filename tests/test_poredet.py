@@ -92,3 +92,42 @@ def test_detector_training_end_to_end():
     assert pmap.shape == (160 - 12, 140 - 12)
     if len(pred):
         assert pred[:, 0].max() < 140 and pred[:, 1].max() < 160
+
+
+def test_final_test_phases_dual_ranges():
+    """TEST I/II final-evaluation parity (pore-detection/train.py:694-830)."""
+    from fpmatch_tpu.poredet.architectures import make_architecture
+    from fpmatch_tpu.poredet.train import final_test_phases, train_pore_detector
+
+    imgs, gts = [], []
+    for i in range(4):
+        img, pores = render_fingerprint(40 + i, size=(160, 140), n_pores=40)
+        imgs.append(img)
+        gts.append(pores)
+    best = train_pore_detector("net13nomax", imgs[:2], gts[:2], imgs[2:3],
+                               gts[2:3], features=8, epochs=1, batch_size=32,
+                               log_fn=lambda *_: None)
+    model = make_architecture("net13nomax", 8)
+    reports = final_test_phases(
+        model, best["variables"],
+        {"test_i": (imgs[2:3], gts[2:3]), "test_ii": (imgs[3:], gts[3:])},
+        window=13, probability=0.5, nms_iou=0.2, log_fn=lambda *_: None)
+    assert set(reports) == {"test_i", "test_ii"}
+    for r in reports.values():
+        assert 0.0 <= r["true_detection_rate"] <= 1.0
+        assert 0.0 <= r["false_detection_rate"] <= 1.0
+
+
+def test_lemes_dpf_detects_synthetic_pores():
+    """Faithful vectorized Lemes port (pore-detection/dpf.py:133-592):
+    sane quality on synthetic ridges and in-bounds centroids."""
+    from fpmatch_tpu.poredet.dpf import detect_pores_lemes
+    from fpmatch_tpu.poredet.evaluate import detection_scores
+
+    img, gt = render_fingerprint(70, size=(240, 200), n_pores=60)
+    pred = detect_pores_lemes(img)
+    assert len(pred) > 10
+    assert (pred[:, 0] >= 0).all() and (pred[:, 0] < 200).all()
+    assert (pred[:, 1] >= 0).all() and (pred[:, 1] < 240).all()
+    r = detection_scores(gt, pred)
+    assert r["f_score"] > 0.3
