@@ -142,6 +142,71 @@ def bench_pallas_spmm(cfg, batch, iters=50, precision="highest"):
     return nnz / dt
 
 
+def bench_univ(iters=10):
+    """UNIV-scale (n=600, e≈3600, ~13M assoc edges/pair) single-pair matvec:
+    the XLA fused einsum vs the blocked-locality Pallas kernel
+    (kernels/assoc_univ.py). Runs in its own subprocess stage."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.core.build_graphs import build_edges
+    from fpmatch_tpu.kernels.assoc_univ import (assoc_matvec_univ,
+                                                gather_ke_blocks, plan_univ)
+    from fpmatch_tpu.ops.assoc import assoc_matvec_fused
+
+    rng = np.random.default_rng(0)
+    n, c = 600, 16
+    pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    _, s1, d1 = build_edges(pts1, stg="tri")
+    _, s2, d2 = build_edges(pts2, stg="tri")
+    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
+    nnz = len(s1) * len(s2) + n * n
+
+    plan = plan_univ(pts1, pts2, s1, d1, s2, d2, transpose=True)
+    KeR = jax.device_put(gather_ke_blocks(Ke, plan))
+    note(f"univ plan: b1={plan.b1} b2={plan.b2} "
+         f"spill={len(plan.spill1)}+{len(plan.spill2)}")
+
+    out = {}
+    for prec in ("highest", "default"):
+        f = jax.jit(lambda x: assoc_matvec_univ(x, Kp, Ke, plan, KeR,
+                                                precision=prec))
+        try:
+            dt = steady_seconds(f, X, iters=iters)
+            out[f"univ_pallas_{prec}_edges_per_s"] = round(nnz / dt, 0)
+            note(f"univ pallas {prec}: {nnz / dt:.3e} edges/s")
+        except Exception as e:  # noqa: BLE001
+            note(f"univ pallas {prec} failed: {type(e).__name__}")
+            out[f"univ_pallas_{prec}_edges_per_s"] = None
+
+    return out
+
+
+def bench_univ_xla(iters=10):
+    """UNIV-scale XLA fused-einsum baseline (kept in the XLA-family stage —
+    running it after a Mosaic program would hit the process-poison mode)."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.core.build_graphs import build_edges
+    from fpmatch_tpu.ops.assoc import assoc_matvec_fused
+
+    rng = np.random.default_rng(0)
+    n, c = 600, 16
+    pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    _, s1, d1 = build_edges(pts1, stg="tri")
+    _, s2, d2 = build_edges(pts2, stg="tri")
+    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
+    nnz = len(s1) * len(s2) + n * n
+    g = jax.jit(lambda x: assoc_matvec_fused(x, Kp, Ke, s1, d1, s2, d2,
+                                             transpose=True))
+    dt = steady_seconds(g, X, iters=iters)
+    note(f"univ xla fused: {nnz / dt:.3e} edges/s")
+    return {"univ_xla_fused_edges_per_s": round(nnz / dt, 0)}
+
+
 def run_stage(stage: str) -> dict:
     """Run one bench family and return its fields.
 
@@ -164,10 +229,13 @@ def run_stage(stage: str) -> dict:
         v = bench_pallas_spmm(cfg, batch, precision="highest")
         note(f"pallas f32: {v:.3e}")
         return {"assoc_spmm_pallas_edges_per_s": round(v, 0) if v else None}
+    if stage == "univ":
+        return bench_univ()
     if stage == "spmm":
         v = bench_spmm(cfg, batch)
         note(f"xla spmm: {v:.3e}")
-        return {"assoc_spmm_edges_per_s": round(v, 0)}
+        return {"assoc_spmm_edges_per_s": round(v, 0),
+                **bench_univ_xla()}
     if stage == "model":
         model = NGMNet(cfg)
         variables = model.init(jax.random.PRNGKey(0), batch, train=False)
@@ -195,7 +263,7 @@ def main():
     result: dict = {}
     # model last so its headline fields come from the freshest chip state;
     # each stage is a fresh process (see run_stage docstring)
-    for stage in ("pallas", "spmm", "model"):
+    for stage in ("pallas", "univ", "spmm", "model"):
         proc = subprocess.run(
             [sys.executable, __file__, "--stage", stage],
             capture_output=True, text=True, timeout=1800)

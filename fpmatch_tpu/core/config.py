@@ -50,6 +50,9 @@ class BackboneConfig:
     stem_channels: int = 64
     stage_channels: Tuple[int, int, int, int] = (64, 128, 256, 512)
     blocks_per_stage: int = 2
+    # rematerialize the backbone in the backward pass (trade ~1 extra
+    # forward of conv flops for not saving the big early feature maps)
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -85,6 +88,11 @@ class NGMConfig:
     # but never turns it on (ngm.py:255 passes hyperedge=False); here the
     # pathway is functional and gated, default-off for parity.
     hyperedge: bool = False
+    # rematerialize the unrolled Sinkhorn/soft-top-k chains in the backward
+    # pass: their dozens of sequential iterates otherwise all round-trip
+    # HBM as saved activations (the train step runs at ~4x its flop bound
+    # without this); recompute is latency-bound and nearly free
+    remat_sinkhorn: bool = True
 
 
 @dataclass(frozen=True)

@@ -82,6 +82,7 @@ class AssocGNNLayer(nn.Module):
     sk_iter: int = 20
     sk_tau: float = 0.05
     hyperedge: bool = False
+    remat_sk: bool = True
 
     @nn.compact
     def __call__(self, X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
@@ -107,11 +108,19 @@ class AssocGNNLayer(nn.Module):
 
         if self.sk_channel:
             sk_in = nn.Dense(self.sk_channel, name="classifier")(x1)
+
+            def sk_fn(x, a, b):
+                return sinkhorn(x, a, b, tau=self.sk_tau,
+                                max_iter=self.sk_iter, dummy_row=True)
+
+            if self.remat_sk:
+                # the unrolled iterates otherwise all become saved
+                # activations; recompute-in-backward is ~free (see
+                # NGMConfig.remat_sinkhorn)
+                sk_fn = jax.checkpoint(sk_fn)
             chans = []
             for c in range(self.sk_channel):
-                ds = sinkhorn(sk_in[..., c], n1, n2, tau=self.sk_tau,
-                              max_iter=self.sk_iter, dummy_row=True)
-                chans.append(ds)
+                chans.append(sk_fn(sk_in[..., c], n1, n2))
             x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
         return x1 * kp_present[..., None]
 

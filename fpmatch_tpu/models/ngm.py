@@ -117,12 +117,14 @@ class NGMNet(nn.Module):
                 if self.cfg.backbone.dtype == "bfloat16" else jnp.float32
             imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
             if kind == "resnet18":
-                node_maps, edges_map, global_feat = ResNet18Backbone(
+                BB = (nn.remat(ResNet18Backbone, static_argnums=(2,))
+                      if self.cfg.backbone.remat else ResNet18Backbone)
+                node_maps, edges_map, global_feat = BB(
                     dtype=bb_dtype, node_taps=self.cfg.backbone.node_taps,
                     stem_channels=self.cfg.backbone.stem_channels,
                     stage_channels=self.cfg.backbone.stage_channels,
                     blocks_per_stage=self.cfg.backbone.blocks_per_stage,
-                    name="backbone")(imgs, train=train)
+                    name="backbone")(imgs, train)
                 node_maps = list(node_maps)
             elif kind in ("vgg16", "vgg16_bn"):
                 from .vgg import VGG16Backbone
@@ -227,8 +229,14 @@ class NGMNet(nn.Module):
 
         # ---- scores + Sinkhorn -------------------------------------------
         s = nn.Dense(1, name="classifier")(emb)[..., 0]     # (B, N, N)
-        ss = sinkhorn_batch(s, n1, n2, tau=cfg.sk_tau, max_iter=cfg.sk_iter,
-                            dummy_row=True)
+
+        def final_sk(x, a, b):
+            return sinkhorn_batch(x, a, b, tau=cfg.sk_tau,
+                                  max_iter=cfg.sk_iter, dummy_row=True)
+
+        if cfg.remat_sinkhorn:
+            final_sk = jax.checkpoint(final_sk)
+        ss = final_sk(s, n1, n2)
 
         min_pts = jnp.minimum(n1, n2).astype(jnp.float32)
         supervised_ks = batch.gt_k / jnp.maximum(min_pts, 1.0)
@@ -243,9 +251,15 @@ class NGMNet(nn.Module):
 
         # ---- soft top-k ---------------------------------------------------
         topk_target = batch.gt_k if train else ks * min_pts
-        ss_out = soft_topk_batch(ss, topk_target, n1, n2, tau=cfg.sk_tau,
-                                 max_iter=cfg.sk_iter,
-                                 extra_iter=cfg.topk_extra_iter)
+
+        def topk_fn(x, k, a, b):
+            return soft_topk_batch(x, k, a, b, tau=cfg.sk_tau,
+                                   max_iter=cfg.sk_iter,
+                                   extra_iter=cfg.topk_extra_iter)
+
+        if cfg.remat_sinkhorn:
+            topk_fn = jax.checkpoint(topk_fn)
+        ss_out = topk_fn(ss, topk_target, n1, n2)
 
         # ---- discretization ----------------------------------------------
         rank = ss_out if hungarian_mask is None else hungarian_mask * ss_out

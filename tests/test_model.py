@@ -15,7 +15,7 @@ def tiny_config():
                                      univ_size=16))
 
 
-def make_batch(rng, B=2, N=12, E=64, H=64, W=96, n_valid=(8, 8)):
+def make_batch(rng, B=2, N=12, E=64, H=48, W=64, n_valid=(8, 8)):
     images = rng.normal(size=(B, 2, H, W, 3)).astype(np.float32)
     points = np.zeros((B, 2, N, 2), np.float32)
     src = np.zeros((B, 2, E), np.int32)
@@ -91,7 +91,7 @@ def test_nobackbone_precomputed_features_pathway():
     cfg = tiny_config()
     cfg = cfg.replace(backbone=dataclasses.replace(cfg.backbone,
                                                    kind="none"))
-    batch = make_batch(rng, H=1, W=1)
+    batch = make_batch(rng, H=16, W=16)
     F = cfg.ngm.node_feature_dim
     feats = rng.normal(size=(batch.batch_size, 2, 12, 64)
                        ).astype(np.float32)
