@@ -81,8 +81,15 @@ def _t_elastic(img, annos, rng):
     h, w = img.shape[:2]
     sigma = rng.uniform(8, 20)
     alpha = rng.uniform(0, 120)
-    dx = cv2.GaussianBlur(rng.random((h, w)) * 2 - 1, (0, 0), sigma) * alpha
-    dy = cv2.GaussianBlur(rng.random((h, w)) * 2 - 1, (0, 0), sigma) * alpha
+    # the field is smooth at scale sigma ≥ 8, so generate + blur it at 1/4
+    # resolution and bilinearly upsample — ~16x cheaper, visually identical
+    hs, ws = max(h // 4, 2), max(w // 4, 2)
+    dx = cv2.GaussianBlur(rng.random((hs, ws)) * 2 - 1, (0, 0),
+                          sigma / 4) * alpha
+    dy = cv2.GaussianBlur(rng.random((hs, ws)) * 2 - 1, (0, 0),
+                          sigma / 4) * alpha
+    dx = cv2.resize(dx, (w, h), interpolation=cv2.INTER_LINEAR)
+    dy = cv2.resize(dy, (w, h), interpolation=cv2.INTER_LINEAR)
     xg, yg = np.meshgrid(np.arange(w), np.arange(h))
     out = cv2.remap(img, (xg + dx).astype(np.float32),
                     (yg + dy).astype(np.float32),
