@@ -163,19 +163,22 @@ def bench_univ(iters=10):
     Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
     nnz = len(s1) * len(s2) + n * n
 
+    import jax.numpy as jnp2
     plan = plan_univ(pts1, pts2, s1, d1, s2, d2, transpose=True)
-    KeR = jax.device_put(gather_ke_blocks(Ke, plan))
     note(f"univ plan: b1={plan.b1} b2={plan.b2} "
          f"spill={len(plan.spill1)}+{len(plan.spill2)}")
 
     out = {}
     for prec in ("highest", "default"):
-        f = jax.jit(lambda x: assoc_matvec_univ(x, Kp, Ke, plan, KeR,
-                                                precision=prec))
+        dt = jnp2.bfloat16 if prec == "default" else jnp2.float32
+        KeR = jax.block_until_ready(
+            jax.jit(lambda k: gather_ke_blocks(k, plan, dtype=dt))(Ke))
+        f = jax.jit(lambda x, kr: assoc_matvec_univ(x, Kp, Ke, plan, kr,
+                                                    precision=prec))
         try:
-            dt = steady_seconds(f, X, iters=iters)
-            out[f"univ_pallas_{prec}_edges_per_s"] = round(nnz / dt, 0)
-            note(f"univ pallas {prec}: {nnz / dt:.3e} edges/s")
+            secs = steady_seconds(f, X, KeR, iters=iters)
+            out[f"univ_pallas_{prec}_edges_per_s"] = round(nnz / secs, 0)
+            note(f"univ pallas {prec}: {nnz / secs:.3e} edges/s")
         except Exception as e:  # noqa: BLE001
             note(f"univ pallas {prec} failed: {type(e).__name__}")
             out[f"univ_pallas_{prec}_edges_per_s"] = None

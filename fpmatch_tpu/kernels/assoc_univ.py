@@ -148,14 +148,18 @@ def plan_univ(points1, points2, src1, dst1, src2, dst2, *,
                     src1=src1, dst1=dst1, src2=src2, dst2=dst2)
 
 
-def gather_ke_blocks(Ke: jnp.ndarray, plan: UnivPlan) -> jnp.ndarray:
+def gather_ke_blocks(Ke: jnp.ndarray, plan: UnivPlan,
+                     dtype=None) -> jnp.ndarray:
     """(I·B1, J·B2) block-gathered Ke (padded slots read an appended zero
-    row/col). One gather per pair, amortized over layers."""
+    row/col). One gather per pair, amortized over layers. Pass
+    dtype=jnp.bfloat16 for the precision="default" kernel mode — KeR is
+    the dominant HBM stream, so halving it halves the bandwidth bill."""
     e1, e2 = Ke.shape
     Kz = jnp.pad(Ke, ((0, 1), (0, 1)))
     rows = plan.e1_idx.reshape(-1)           # (I*B1,)
     cols = plan.e2_idx.reshape(-1)           # (J*B2,)
-    return Kz[rows][:, cols]
+    out = Kz[rows][:, cols]
+    return out.astype(dtype) if dtype is not None else out
 
 
 def _univ_kernel(*refs, c: int, r1: int, r2: int, b1: int, b2: int,
@@ -259,11 +263,14 @@ def assoc_matvec_univ(X, Kp, Ke, plan: UnivPlan,
     from ..ops.assoc import assoc_matvec
 
     n1, n2, c = X.shape
+    compute_dtype = jnp.bfloat16 if precision == "default" else X.dtype
     if KeR is None:
-        KeR = gather_ke_blocks(Ke, plan)
+        KeR = gather_ke_blocks(Ke, plan, dtype=compute_dtype)
+    elif KeR.dtype != compute_dtype:
+        KeR = KeR.astype(compute_dtype)
     p1 = jnp.asarray(plan.perm1)
     p2 = jnp.asarray(plan.perm2)
-    Xs = X[p1][:, p2]                                 # sorted order
+    Xs = X[p1][:, p2].astype(compute_dtype)           # sorted order
     Xs = jnp.transpose(Xs, (2, 0, 1))                 # (C, N1, N2)
     Xp = jnp.pad(Xs, ((0, 0),
                       (plan.r1, plan.n1p - n1 + plan.r1),
