@@ -82,13 +82,20 @@ def test_param_partitions():
                jax.tree_util.tree_leaves(labels["backbone"]))
 
 
-@pytest.mark.parametrize("stage_idx", [0, 1, 5])
-def test_train_step_respects_stage_freezing(stage_idx):
+@pytest.fixture(scope="module")
+def model_batch_vars():
+    """Shared init: model.init dominates these tests' runtime."""
     rng = np.random.default_rng(0)
     cfg = tiny_config()
     batch = make_batch(rng)
     model = NGMNet(cfg)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return cfg, batch, model, variables
+
+
+@pytest.mark.parametrize("stage_idx", [0, 1, 5])
+def test_train_step_respects_stage_freezing(stage_idx, model_batch_vars):
+    cfg, batch, model, variables = model_batch_vars
     stage = default_stages()[stage_idx]
     state = create_state(variables, stage)
     step_fn = make_train_step(model, stage)
@@ -107,12 +114,8 @@ def test_train_step_respects_stage_freezing(stage_idx):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
-def test_eval_step_and_lr_update():
-    rng = np.random.default_rng(0)
-    cfg = tiny_config()
-    batch = make_batch(rng)
-    model = NGMNet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+def test_eval_step_and_lr_update(model_batch_vars):
+    cfg, batch, model, variables = model_batch_vars
     stage = default_stages()[2]  # all partitions on
     state = create_state(variables, stage)
     eval_fn = make_eval_step(model, stage)
