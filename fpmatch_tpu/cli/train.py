@@ -16,7 +16,13 @@ import jax
 import numpy as np
 
 
-def build_loaders(cfg, data_root: str, dataset_name: str, length=None):
+def build_loaders(cfg, data_root: str, dataset_name: str, length=None,
+                  test_length=None):
+    """train: augmented, shuffled; val: deterministic + sample-cached (it is
+    re-iterated every epoch); test: a seeded subsample for the periodic
+    in-training eval (the full protocol belongs to cli/evaluate.py — at
+    loader speed 10k+ pairs would stall training for most of an hour)."""
+    import numpy as np
     from ..data.benchmark import make_benchmark
     from ..data.pipeline import DataLoader, PairDataset
 
@@ -25,8 +31,12 @@ def build_loaders(cfg, data_root: str, dataset_name: str, length=None):
         bench = make_benchmark(dataset_name, sets, root=data_root,
                                task="classify")
         pd = PairDataset(bench, cfg, length=length)
+        if sets == "test" and test_length and len(pd.pairs) > test_length:
+            keep = np.random.default_rng(0).choice(
+                len(pd.pairs), size=test_length, replace=False)
+            pd.pairs = [pd.pairs[i] for i in sorted(keep)]
         loaders[sets] = DataLoader(pd, cfg, shuffle=(sets == "train"),
-                                   drop_last=True)
+                                   drop_last=True, cache=(sets == "val"))
     return loaders
 
 
@@ -62,6 +72,11 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true",
                     help="generate a tiny synthetic dataset and run 1 epoch "
                          "of stages 1+6 end-to-end")
+    ap.add_argument("--test-length", type=int, default=1024,
+                    help="seeded test-pair subsample for the periodic "
+                         "in-training eval (full protocol: cli/evaluate.py)")
+    ap.add_argument("--thread-workers", action="store_true",
+                    help="use thread workers instead of worker processes")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -89,6 +104,9 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data,
                                           batch_size=args.batch_size))
+    if not args.thread_workers:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, worker_processes=True))
 
     if args.smoke:
         import tempfile
@@ -116,7 +134,8 @@ def main(argv=None):
         stages.append(st)
 
     loaders = build_loaders(cfg, args.data_root, args.dataset,
-                            length=args.length)
+                            length=args.length,
+                            test_length=args.test_length)
 
     model = NGMNet(cfg)
     example = next(iter(loaders["val"]))

@@ -107,6 +107,10 @@ class DataConfig:
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     batch_size: int = 8
     num_workers: int = 6
+    # worker processes sidestep the GIL (the reference's 6 DataLoader worker
+    # processes, gmdataset.py:692-696); threads are cheaper for tiny test
+    # datasets, so this is opt-in and the train CLI turns it on
+    worker_processes: bool = False
     random_seed: int = 123
     augment_min_points: int = 5
     augment_min_common: int = 4

@@ -13,7 +13,8 @@ collate_fn/get_dataloader), redesigned for the TPU data path:
 """
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -181,6 +182,29 @@ class PairDataset:
                           tris=tris)
 
 
+# ------------------------------------------------------------ process workers
+#
+# Python threads share the GIL: the per-pair host work (augmentation warps,
+# Delaunay, label bookkeeping) holds it often enough that a ThreadPool loader
+# tops out at ~1 core no matter how many workers (measured: a 4-core host sat
+# 50% idle while training was loader-bound). Worker PROCESSES sidestep the
+# GIL the way the reference's 6 DataLoader worker processes do
+# (gmdataset.py:692-696). Spawn (not fork) so children never inherit the
+# parent's live TPU/tunnel client threads; every module a worker imports is
+# jax-free (numpy/cv2/scipy only).
+
+_WORKER_DATASET: Optional["PairDataset"] = None
+
+
+def _init_worker(dataset: "PairDataset") -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(idx: int, epoch: int) -> "PairSample":
+    return _WORKER_DATASET.get(idx, epoch)
+
+
 # ---------------------------------------------------------------- collation
 
 def collate(samples: Sequence[PairSample], cfg: Config):
@@ -244,7 +268,8 @@ class DataLoader:
 
     def __init__(self, dataset: PairDataset, cfg: Config, *,
                  batch_size: Optional[int] = None, shuffle: bool = False,
-                 num_workers: Optional[int] = None, drop_last: bool = True):
+                 num_workers: Optional[int] = None, drop_last: bool = True,
+                 use_processes: Optional[bool] = None, cache: bool = False):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size or cfg.data.batch_size
@@ -252,6 +277,12 @@ class DataLoader:
         self.num_workers = (cfg.data.num_workers if num_workers is None
                             else num_workers)
         self.drop_last = drop_last
+        self.use_processes = (cfg.data.worker_processes
+                              if use_processes is None else use_processes)
+        # sample cache: only sound when output is epoch-independent
+        # (deterministic un-augmented pairs in a fixed order)
+        self.cache = cache and not shuffle and not dataset.augment
+        self._cached: Optional[List[PairSample]] = None
         self.epoch = 0
 
     def __len__(self):
@@ -272,28 +303,54 @@ class DataLoader:
         epoch = self.epoch
         self.epoch += 1
 
-        if self.num_workers <= 1:
+        if self.cache and self._cached is not None:
             for idxs in batches:
-                yield collate([self.dataset.get(int(i), epoch)
-                               for i in idxs], self.cfg)
+                yield collate([self._cached[int(i)] for i in idxs], self.cfg)
             return
 
-        pool = self._pool()
-        pending = []
-        for idxs in batches:
-            futs = [pool.submit(self.dataset.get, int(i), epoch)
-                    for i in idxs]
-            pending.append(futs)
-            # keep ~2 batches in flight
-            while len(pending) > 2:
-                done = pending.pop(0)
-                yield collate([f.result() for f in done], self.cfg)
-        for done in pending:
-            yield collate([f.result() for f in done], self.cfg)
+        filling = [] if self.cache else None
 
-    def _pool(self) -> ThreadPoolExecutor:
+        if self.num_workers <= 1:
+            for idxs in batches:
+                samples = [self.dataset.get(int(i), epoch) for i in idxs]
+                if filling is not None:
+                    filling.extend(samples)
+                yield collate(samples, self.cfg)
+        else:
+            pool = self._pool()
+            get = _worker_get if self.use_processes else self.dataset.get
+            pending = []
+            for idxs in batches:
+                futs = [pool.submit(get, int(i), epoch) for i in idxs]
+                pending.append(futs)
+                # keep ~2 batches in flight
+                while len(pending) > 2:
+                    done = pending.pop(0)
+                    samples = [f.result() for f in done]
+                    if filling is not None:
+                        filling.extend(samples)
+                    yield collate(samples, self.cfg)
+            for done in pending:
+                samples = [f.result() for f in done]
+                if filling is not None:
+                    filling.extend(samples)
+                yield collate(samples, self.cfg)
+
+        if filling is not None:
+            # shuffle=False ⇒ filling is samples [0..K) in index order, and
+            # every future epoch requests exactly those indices
+            self._cached = filling
+
+    def _pool(self):
         # one long-lived pool per loader: avoids per-epoch churn and the
         # generator-GC-during-shutdown TypeError of a with-block across yields
         if getattr(self, "_executor", None) is None:
-            self._executor = ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.use_processes:
+                ctx = multiprocessing.get_context("spawn")
+                self._executor = ProcessPoolExecutor(
+                    max_workers=self.num_workers, mp_context=ctx,
+                    initializer=_init_worker, initargs=(self.dataset,))
+            else:
+                self._executor = ThreadPoolExecutor(
+                    max_workers=self.num_workers)
         return self._executor

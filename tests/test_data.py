@@ -203,3 +203,46 @@ def test_imposter_pair_zero_perm(synth_root, tmp_path, cfg):
     s = pd.get(imposter_idx)
     assert s.label == 0.0
     assert s.perm.sum() == 0
+
+
+def test_process_loader_matches_thread_loader(synth_root, tmp_path, cfg):
+    """Worker processes (spawn) must yield byte-identical batches to the
+    thread loader — the per-(seed,epoch,idx) RNG makes sample content
+    independent of worker scheduling."""
+    ds = L3SFV2AugmentedDataset("train", root=synth_root,
+                                output_dir=str(tmp_path / "idx_proc"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=True, seed=11)
+    lt = DataLoader(pd, cfg, batch_size=4, shuffle=False, num_workers=2,
+                    use_processes=False)
+    lp = DataLoader(pd, cfg, batch_size=4, shuffle=False, num_workers=2,
+                    use_processes=True)
+    bt = next(iter(lt))
+    bp = next(iter(lp))
+    np.testing.assert_array_equal(np.asarray(bt.images),
+                                  np.asarray(bp.images))
+    np.testing.assert_array_equal(np.asarray(bt.gt_perm),
+                                  np.asarray(bp.gt_perm))
+    np.testing.assert_array_equal(np.asarray(bt.src), np.asarray(bp.src))
+
+
+def test_val_sample_cache(synth_root, tmp_path, cfg):
+    """A cache=True deterministic loader serves identical batches on every
+    epoch without re-running the host pipeline."""
+    ds = L3SFV2AugmentedDataset("val", root=synth_root,
+                                output_dir=str(tmp_path / "idx_cache"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=False)
+    loader = DataLoader(pd, cfg, batch_size=4, shuffle=False, num_workers=1,
+                        cache=True)
+    first = [np.asarray(b.images) for b in loader]
+    assert loader._cached is not None
+    calls = []
+    orig = pd.get
+    pd.get = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    second = [np.asarray(b.images) for b in loader]
+    assert not calls  # cache hit: host pipeline not re-run
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
