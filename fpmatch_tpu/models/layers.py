@@ -125,11 +125,47 @@ class AssocGNNLayer(nn.Module):
         return x1 * kp_present[..., None]
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistics are computed over the VALID
+    region only (padded positions excluded), so training normalization does
+    not depend on the padding bucket size. Variable/param names match
+    flax.linen.BatchNorm ("mean"/"var"/"scale"/"bias") — checkpoints are
+    interchangeable, and eval mode (running stats) is bit-identical."""
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        """x: (B, H, W, C); mask: (B, H, W, 1) in {0, 1}."""
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if train:
+            cnt = jnp.maximum(mask.sum(), 1.0)
+            mean = (x * mask).sum(axis=(0, 1, 2)) / cnt
+            var = (jnp.square(x - mean) * mask).sum(axis=(0, 1, 2)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
 class MatchClassifier(nn.Module):
     """Genuine/imposter classifier on the masked similarity matrix — a small
-    CNN over the match map (reference ngm.py:75-106). Pooling is masked: the
-    global average divides by the valid area instead of the padded bucket
-    area, so logits don't depend on the padding bucket size."""
+    CNN over the match map (reference ngm.py:75-106). Pooling is masked (the
+    global average divides by the valid area) and BatchNorm statistics are
+    masked too, so neither logits nor train-mode normalization depend on the
+    padding bucket size."""
 
     channels: Tuple[int, ...] = (16, 32)
 
@@ -137,20 +173,25 @@ class MatchClassifier(nn.Module):
     def __call__(self, match_mat, n1, n2, train: bool = False):
         """match_mat: (B, S1, S2); n1, n2: (B,) valid counts."""
         x = match_mat[..., None]
+
+        def level_mask(h, w, shift):
+            rows = jnp.arange(h)[None, :, None]
+            cols = jnp.arange(w)[None, None, :]
+            vr = jnp.ceil(n1 / (1 << shift)).astype(jnp.int32)[:, None, None]
+            vc = jnp.ceil(n2 / (1 << shift)).astype(jnp.int32)[:, None, None]
+            return ((rows < vr) & (cols < vc)).astype(x.dtype)[..., None]
+
         for i, ch in enumerate(self.channels):
             x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"bn{i}")(x)
+            m = level_mask(x.shape[1], x.shape[2], i)
+            # zero the invalid region: otherwise it carries bias/BN constants
+            # whose interaction with the conv's array-edge zero padding (and
+            # with boundary-straddling pool cells) depends on the bucket size
+            x = MaskedBatchNorm(name=f"bn{i}")(x, m, train=train) * m
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # masked global average over the (downscaled) valid region
-        scale = 2 ** len(self.channels)
-        h, w = x.shape[1], x.shape[2]
-        rows = jnp.arange(h)[None, :, None]
-        cols = jnp.arange(w)[None, None, :]
-        vr = jnp.ceil(n1 / scale).astype(jnp.int32)[:, None, None]
-        vc = jnp.ceil(n2 / scale).astype(jnp.int32)[:, None, None]
-        m = ((rows < vr) & (cols < vc)).astype(x.dtype)[..., None]
+        m = level_mask(x.shape[1], x.shape[2], len(self.channels))
         pooled = (x * m).sum(axis=(1, 2)) / jnp.maximum(
             m.sum(axis=(1, 2)), 1.0)
         return nn.Dense(1, name="fc")(pooled)[..., 0]
