@@ -13,7 +13,16 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
+import jax
 import numpy as np
+
+
+def _copy_state(state):
+    """Deep-copy a TrainState. train_step donates its input buffers, so any
+    state retained across steps (best-state tracking, reload-on-LR-drop)
+    must own fresh buffers."""
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state)
 
 from ..core.config import StageConfig
 from ..evaluation.metrics import verification_metrics
@@ -89,7 +98,7 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
 
         if val_loss < best_val:
             best_val = val_loss
-            best_state = state
+            best_state = _copy_state(state)
             bad_epochs = 0
             if checkpoint_dir:
                 save_checkpoint(checkpoint_dir, f"{stage.name}_best", state,
@@ -98,9 +107,12 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
             bad_epochs += 1
 
         if sched.reduced:
-            # reload best weights on LR drop (train.py:409-417)
-            state = best_state._replace(opt_state=set_learning_rates(
-                best_state.opt_state, lrs))
+            # reload best weights on LR drop (train.py:409-417); copy so the
+            # retained best_state never shares (donatable) buffers with the
+            # live state
+            fresh = _copy_state(best_state)
+            state = fresh._replace(
+                opt_state=set_learning_rates(fresh.opt_state, lrs))
 
         row = {"epoch": epoch, "time_s": time.time() - t0,
                **{f"train_{k}": v for k, v in train_metrics.items()},

@@ -71,11 +71,16 @@ def make_optimizer(stage: StageConfig) -> optax.GradientTransformation:
 
 
 def create_state(variables, stage: StageConfig) -> TrainState:
-    params = variables["params"]
+    # own fresh buffers: train_step donates its input state, and the caller's
+    # `variables` (possibly shared with other states) must stay valid
+    params = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, variables["params"])
     tx = make_optimizer(stage)
     return TrainState(
         params=params,
-        batch_stats=variables.get("batch_stats", FrozenDict()),
+        batch_stats=jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, "copy") else x,
+            variables.get("batch_stats", FrozenDict())),
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
     )

@@ -99,6 +99,8 @@ def test_train_step_respects_stage_freezing(stage_idx, model_batch_vars):
     stage = default_stages()[stage_idx]
     state = create_state(variables, stage)
     step_fn = make_train_step(model, stage)
+    # host snapshot before the step: train_step donates the input state
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
     new_state, metrics = step_fn(state, batch)
 
     def changed(tree_a, tree_b):
@@ -106,7 +108,7 @@ def test_train_step_respects_stage_freezing(stage_idx, model_batch_vars):
                    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
                                    jax.tree_util.tree_leaves(tree_b)))
 
-    p0, p1 = state.params, new_state.params
+    p1 = new_state.params
     assert changed(p0["afau"], p1["afau"]) == stage.train_k
     assert changed(p0["match_cls"], p1["match_cls"]) == stage.train_cls
     assert changed(p0["vertex_aff"], p1["vertex_aff"]) == stage.train_main
