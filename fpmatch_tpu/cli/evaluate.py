@@ -64,7 +64,7 @@ def main(argv=None):
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
     pd = PairDataset(bench, cfg, augment=args.augment)
-    loader = DataLoader(pd, cfg, drop_last=False)
+    loader = DataLoader(pd, cfg, drop_last=False, device_prefetch=True)
     log(f"test pairs: {len(pd)}")
 
     model = NGMNet(cfg)

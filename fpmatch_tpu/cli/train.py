@@ -36,7 +36,8 @@ def build_loaders(cfg, data_root: str, dataset_name: str, length=None,
                 len(pd.pairs), size=test_length, replace=False)
             pd.pairs = [pd.pairs[i] for i in sorted(keep)]
         loaders[sets] = DataLoader(pd, cfg, shuffle=(sets == "train"),
-                                   drop_last=True, cache=(sets == "val"))
+                                   drop_last=True, cache=(sets != "train"),
+                                   device_prefetch=True)
     return loaders
 
 

@@ -115,7 +115,15 @@ class NGMNet(nn.Module):
             # halves HBM traffic; params/downstream stay fp32
             bb_dtype = jnp.bfloat16 \
                 if self.cfg.backbone.dtype == "bfloat16" else jnp.float32
-            imgs = batch.images.reshape(B * 2, H, W, 3).astype(bb_dtype)
+            imgs = batch.images.reshape(B * 2, H, W, 3)
+            if imgs.dtype == jnp.uint8:
+                # loader ships raw uint8 (the tunnel H2D link is the train-
+                # loop bottleneck: ~7 MB/s, so f32 would cost 4x the bytes);
+                # normalization runs on device where it fuses into the stem
+                means = jnp.asarray(self.cfg.data.norm_means, jnp.float32)
+                stds = jnp.asarray(self.cfg.data.norm_std, jnp.float32)
+                imgs = (imgs.astype(jnp.float32) / 255.0 - means) / stds
+            imgs = imgs.astype(bb_dtype)
             if kind == "resnet18":
                 BB = (nn.remat(ResNet18Backbone, static_argnums=(2,))
                       if self.cfg.backbone.remat else ResNet18Backbone)

@@ -12,7 +12,10 @@ NORM_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def denormalize_image(img: np.ndarray) -> np.ndarray:
-    """(H, W, 3) normalized float → uint8 RGB."""
+    """(H, W, 3) normalized float → uint8 RGB (uint8 passes through —
+    loaders ship raw uint8 batches and normalize on device)."""
+    if img.dtype == np.uint8:
+        return img
     x = img * NORM_STD + NORM_MEANS
     return np.clip(x * 255.0, 0, 255).astype(np.uint8)
 
