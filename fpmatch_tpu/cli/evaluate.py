@@ -59,7 +59,9 @@ def main(argv=None):
     cfg = Config(shapes=ShapeConfig(n_max=args.n_max, e_max=args.e_max,
                                     univ_size=args.univ))
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size,
+                                      worker_processes=True,
+                                      image_channels=1))
 
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")

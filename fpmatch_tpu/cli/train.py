@@ -108,6 +108,9 @@ def main(argv=None):
     if not args.thread_workers:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, worker_processes=True))
+    # fingerprint scans are grayscale: ship luma only (3x less H2D)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, image_channels=1))
 
     if args.smoke:
         import tempfile

@@ -111,6 +111,10 @@ class DataConfig:
     # processes, gmdataset.py:692-696); threads are cheaper for tiny test
     # datasets, so this is opt-in and the train CLI turns it on
     worker_processes: bool = False
+    # channels shipped per image by collate. Fingerprint scans are grayscale
+    # (3 identical channels); 1 = ship luma only and broadcast to RGB on
+    # device — 3x less tunnel H2D traffic. The train/eval CLIs use 1.
+    image_channels: int = 3
     random_seed: int = 123
     augment_min_points: int = 5
     augment_min_common: int = 4

@@ -219,8 +219,9 @@ def collate(samples: Sequence[PairSample], cfg: Config):
     B = len(samples)
     N, E = cfg.shapes.n_max, cfg.shapes.e_max
     H, W = cfg.data.rescale[1], cfg.data.rescale[0]
+    C = cfg.data.image_channels
 
-    images = np.zeros((B, 2, H, W, 3), np.uint8)
+    images = np.zeros((B, 2, H, W, C), np.uint8)
     points = np.zeros((B, 2, N, 2), np.float32)
     src = np.zeros((B, 2, E), np.int32)
     dst = np.zeros((B, 2, E), np.int32)
@@ -238,6 +239,8 @@ def collate(samples: Sequence[PairSample], cfg: Config):
     for b, s in enumerate(samples):
         for v in range(2):
             img = s.images[v]
+            if C == 1 and img.ndim == 3 and img.shape[2] == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
             images[b, v, :img.shape[0], :img.shape[1]] = img[:H, :W]
             P = s.points[v][:N]
             points[b, v, :len(P)] = P

@@ -115,14 +115,19 @@ class NGMNet(nn.Module):
             # halves HBM traffic; params/downstream stay fp32
             bb_dtype = jnp.bfloat16 \
                 if self.cfg.backbone.dtype == "bfloat16" else jnp.float32
-            imgs = batch.images.reshape(B * 2, H, W, 3)
+            C_in = batch.images.shape[-1]
+            imgs = batch.images.reshape(B * 2, H, W, C_in)
             if imgs.dtype == jnp.uint8:
-                # loader ships raw uint8 (the tunnel H2D link is the train-
-                # loop bottleneck: ~7 MB/s, so f32 would cost 4x the bytes);
-                # normalization runs on device where it fuses into the stem
+                # loader ships raw uint8, possibly single-channel luma (the
+                # tunnel H2D link is the train-loop bottleneck: ~7 MB/s, so
+                # f32 RGB would cost 12x the bytes); normalization runs on
+                # device where it fuses into the stem, and a (…,1) input
+                # broadcasts against the per-channel stats to RGB
                 means = jnp.asarray(self.cfg.data.norm_means, jnp.float32)
                 stds = jnp.asarray(self.cfg.data.norm_std, jnp.float32)
                 imgs = (imgs.astype(jnp.float32) / 255.0 - means) / stds
+            elif C_in == 1:
+                imgs = jnp.repeat(imgs, 3, axis=-1)
             imgs = imgs.astype(bb_dtype)
             if kind == "resnet18":
                 BB = (nn.remat(ResNet18Backbone, static_argnums=(2,))

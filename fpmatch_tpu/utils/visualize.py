@@ -12,12 +12,14 @@ NORM_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def denormalize_image(img: np.ndarray) -> np.ndarray:
-    """(H, W, 3) normalized float → uint8 RGB (uint8 passes through —
-    loaders ship raw uint8 batches and normalize on device)."""
-    if img.dtype == np.uint8:
-        return img
-    x = img * NORM_STD + NORM_MEANS
-    return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+    """(H, W, 3|1) normalized float or raw uint8 → uint8 RGB (loaders ship
+    raw uint8, possibly single-channel luma, and normalize on device)."""
+    if img.dtype != np.uint8:
+        img = np.clip((img * NORM_STD + NORM_MEANS) * 255.0,
+                      0, 255).astype(np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
 
 
 def draw_keypoints(img: np.ndarray, points: np.ndarray, n: int,

@@ -246,3 +246,26 @@ def test_val_sample_cache(synth_root, tmp_path, cfg):
     assert not calls  # cache hit: host pipeline not re-run
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grayscale_collate_equivalent(synth_root, tmp_path, cfg):
+    """image_channels=1 ships luma; for grayscale sources (all fingerprint
+    data — 3 identical channels) the on-device broadcast reproduces the RGB
+    batch exactly."""
+    import dataclasses
+    import jax
+    from fpmatch_tpu.data.pipeline import collate
+
+    ds = L3SFV2AugmentedDataset("val", root=synth_root,
+                                output_dir=str(tmp_path / "idx_gray"),
+                                task="classify")
+    bench = Benchmark(ds)
+    pd = PairDataset(bench, cfg, augment=False)
+    samples = [pd.get(i) for i in range(2)]
+    cfg1 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, image_channels=1))
+    b3 = collate(samples, cfg)
+    b1 = collate(samples, cfg1)
+    assert b1.images.shape[-1] == 1 and b1.images.dtype == np.uint8
+    # un-augmented generator output is pure grayscale -> luma == channel 0
+    np.testing.assert_array_equal(b1.images[..., 0], b3.images[..., 0])
