@@ -86,36 +86,85 @@ def create_state(variables, stage: StageConfig) -> TrainState:
     )
 
 
+def _lr_paths(opt_state):
+    """[(partition label, key path)] for every injected learning_rate.
+
+    Uses optax's public `tree_utils.tree_get_all_with_path` (stable API)
+    instead of sniffing `inner_states`/`hyperparams` attributes, so an optax
+    upgrade that reshuffles internal state types fails loudly here rather
+    than silently disabling LR scheduling. The partition label is the
+    multi_transform inner-states dict key — the unique string DictKey on the
+    path besides the trailing 'learning_rate' one.
+    """
+    import optax.tree_utils as otu
+
+    out = []
+    for path, _ in otu.tree_get_all_with_path(opt_state, "learning_rate"):
+        labels = [k.key for k in path
+                  if type(k).__name__ == "DictKey"
+                  and isinstance(k.key, str) and k.key != "learning_rate"]
+        if len(labels) != 1:
+            raise RuntimeError(
+                "cannot identify the parameter partition for the optimizer "
+                f"learning_rate at path {path}; optax state layout changed — "
+                "update fpmatch_tpu.train.state._lr_paths")
+        out.append((labels[0], path))
+    if not out:
+        raise RuntimeError(
+            "optimizer state exposes no injected learning_rate hyperparams; "
+            "LR scheduling would be a silent no-op (optax layout change?)")
+    return out
+
+
+def _set_at(node, path, value):
+    """Functionally replace the leaf at an optax/jax key path."""
+    if not path:
+        return value
+    k, rest = path[0], path[1:]
+    kind = type(k).__name__
+    if kind == "DictKey":
+        new = dict(node)
+        new[k.key] = _set_at(node[k.key], rest, value)
+        return new if isinstance(node, dict) else type(node)(new)
+    if kind in ("NamedTupleKey", "GetAttrKey"):
+        child = getattr(node, k.name)
+        return node._replace(**{k.name: _set_at(child, rest, value)})
+    if kind == "SequenceKey":
+        seq = list(node)
+        seq[k.idx] = _set_at(node[k.idx], rest, value)
+        if isinstance(node, tuple):
+            return type(node)(*seq) if hasattr(node, "_fields") \
+                else tuple(seq)
+        return type(node)(seq)
+    raise RuntimeError(f"unknown key type {kind} in optimizer state path")
+
+
 def set_learning_rates(opt_state, new_lrs: Dict[str, float]):
     """Host-side LR update (plateau/warmup) through injected hyperparams.
-    `new_lrs` maps partition name → new absolute LR. Works for both the bare
-    multi_transform state and the (clip, multi_transform) chain tuple."""
-    if hasattr(opt_state, "inner_states"):
-        new_inner = {}
-        for label, st in opt_state.inner_states.items():
-            inner = st.inner_state
-            if label in new_lrs and hasattr(inner, "hyperparams"):
-                hp = dict(inner.hyperparams)
-                hp["learning_rate"] = jnp.asarray(new_lrs[label],
-                                                  jnp.float32)
-                inner = inner._replace(hyperparams=hp)
-            new_inner[label] = st._replace(inner_state=inner)
-        return opt_state._replace(inner_states=new_inner)
-    # chain: find the element carrying inner_states
-    assert isinstance(opt_state, tuple)
-    return tuple(set_learning_rates(s, new_lrs)
-                 if hasattr(s, "inner_states") else s for s in opt_state)
+    `new_lrs` maps partition name → new absolute LR; labels for frozen
+    partitions (set_to_zero — no hyperparams) are ignored. Raises if the
+    state exposes no injectable LRs at all (see _lr_paths)."""
+    for label, path in _lr_paths(opt_state):
+        if label in new_lrs:
+            opt_state = _set_at(opt_state, list(path),
+                                jnp.asarray(new_lrs[label], jnp.float32))
+    return opt_state
 
 
 def get_learning_rates(opt_state) -> Dict[str, float]:
-    if hasattr(opt_state, "inner_states"):
-        out = {}
-        for label, st in opt_state.inner_states.items():
-            if hasattr(st.inner_state, "hyperparams"):
-                out[label] = float(
-                    st.inner_state.hyperparams["learning_rate"])
-        return out
-    for s in opt_state:
-        if hasattr(s, "inner_states"):
-            return get_learning_rates(s)
-    return {}
+    return {label: float(_get_at(opt_state, path))
+            for label, path in _lr_paths(opt_state)}
+
+
+def _get_at(node, path):
+    for k in path:
+        kind = type(k).__name__
+        if kind == "DictKey":
+            node = node[k.key]
+        elif kind in ("NamedTupleKey", "GetAttrKey"):
+            node = getattr(node, k.name)
+        elif kind == "SequenceKey":
+            node = node[k.idx]
+        else:
+            raise RuntimeError(f"unknown key type {kind}")
+    return node

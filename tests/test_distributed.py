@@ -44,6 +44,7 @@ _WORKER = textwrap.dedent("""
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("mesh8")
 def test_two_process_distributed_psum(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))

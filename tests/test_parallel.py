@@ -6,8 +6,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    # XLA-CPU collectives rendezvous all 8 virtual devices; keep these tests
+    # on one xdist worker so concurrent workers can't starve a device past
+    # the 40s rendezvous timeout (the round-1 dryrun abort mode)
+    pytest.mark.xdist_group("mesh8"),
+]
 
 
 def _rand_graph(rng, n, density=0.5):
@@ -153,7 +159,7 @@ def test_data_parallel_train_step_runs_on_mesh(rng):
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms', 'cpu');"
          "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=900,
         env={**__import__('os').environ,
              "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
     assert proc.returncode == 0, proc.stderr[-2000:]

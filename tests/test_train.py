@@ -2,6 +2,10 @@
 import numpy as np
 import pytest
 
+# one xdist worker per heavy module keeps the module-scoped jitted-model
+# fixtures shared instead of re-compiling on every worker
+pytestmark = pytest.mark.xdist_group("train")
+
 import jax
 import jax.numpy as jnp
 
