@@ -60,10 +60,17 @@ def render_fingerprint(seed: int, size: Tuple[int, int] = (480, 400),
 
 
 def _render_canonical(seed: int, size: Tuple[int, int], wavelength: float,
-                      n_pores: int, draw_pores: bool = True
+                      n_pores: int, draw_pores: bool = True,
+                      pore_seed: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Float-domain canonical render shared by single- and multi-impression
-    paths. Returns (float img in [0,1], (n,2) pore xy)."""
+    paths. Returns (float img in [0,1], (n,2) pore xy).
+
+    `pore_seed` decouples the pore sampling from the ridge field: two
+    fingers with the same `seed` but different `pore_seed` are "siblings" —
+    identical ridge geometry, independent pore layouts. Sibling impostor
+    pairs are the hard negatives of pore-based verification (the ridge
+    background matches perfectly; only the pore constellation disagrees)."""
     rng = np.random.default_rng(seed)
     h, w = size
     theta = _orientation_field(h, w, rng)
@@ -86,6 +93,8 @@ def _render_canonical(seed: int, size: Tuple[int, int], wavelength: float,
     ridge_zone = (ridges > 0.6) & mask
     ys, xs = np.nonzero(ridge_zone)
     pores = []
+    if pore_seed is not None:
+        rng = np.random.default_rng(pore_seed)
     if len(ys):
         order = rng.permutation(len(ys))
         taken = np.zeros((h // 8 + 2, w // 8 + 2), bool)  # spacing grid
@@ -109,7 +118,8 @@ def render_impression(finger_seed: int, impression_seed: int,
                       out_size: Tuple[int, int] = (480, 400),
                       canvas: Optional[Tuple[int, int]] = None,
                       wavelength: float = 9.0, n_pores: int = 130,
-                      identity: bool = False
+                      identity: bool = False,
+                      pore_seed: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render one acquisition of a finger.
 
@@ -133,7 +143,8 @@ def render_impression(finger_seed: int, impression_seed: int,
     # (they are skin features riding the deformation) — warping 1-px dots
     # through the interpolating remap would wash them out
     img0, pores0 = _render_canonical(finger_seed, canvas, wavelength,
-                                     n_pores, draw_pores=identity)
+                                     n_pores, draw_pores=identity,
+                                     pore_seed=pore_seed)
     ids0 = np.arange(len(pores0), dtype=np.int32)
 
     if identity:
@@ -237,7 +248,8 @@ def write_subject(out_dir: Path, subject: str, img: np.ndarray,
 def generate_synthetic_dataset(root: str, *, fingers_per_split=(12, 4, 4),
                                n_pores: int = 110, seed: int = 0,
                                size=(480, 400), sessions: int = 1,
-                               stances: int = 1) -> Path:
+                               stances: int = 1,
+                               sibling_fraction: float = 0.0) -> Path:
     """Create dataset/Synthetic-style R1..R5 layout.
 
     fingers_per_split = (train, test, val) counts; train fingers spread over
@@ -247,34 +259,48 @@ def generate_synthetic_dataset(root: str, *, fingers_per_split=(12, 4, 4),
     `f{fid}_{session}_{stance}` impressions rendered through the acquisition
     model (rigid+elastic+overlap+pressure+detector noise) — the benchmark
     then serves cross-session genuine pairs, which is what makes the
-    verification protocol hard (EER > 0)."""
+    verification protocol hard (EER > 0).
+
+    `sibling_fraction` > 0 (multi-impression mode only) additionally writes,
+    for that fraction of each split's fingers, a SIBLING finger: same
+    canonical ridge field, independently sampled pores. Sibling impostor
+    pairs are the hard negatives of pore verification — the ridge background
+    matches perfectly, so a matcher keying on ridge texture (rather than the
+    pore constellation) cannot separate them. Siblings get their own finger
+    id (label-equality GT is unaffected)."""
     root = Path(root)
     train_n, test_n, val_n = fingers_per_split
     multi = sessions > 1 or stances > 1
 
-    def write_finger(split_dir: Path, fid: int):
-        fseed = seed * 100_003 + fid
+    def write_finger(split_dir: Path, fid: int, ridge_seed: int,
+                     pore_seed: Optional[int] = None):
         if not multi:
-            img, pores = render_fingerprint(fseed, size, n_pores=n_pores)
+            img, pores = render_fingerprint(ridge_seed, size,
+                                            n_pores=n_pores)
             write_subject(root / split_dir, f"f{fid:04d}", img, pores)
             return
         for s in range(1, sessions + 1):
             for t in range(1, stances + 1):
                 img, pores, ids = render_impression(
-                    fseed, s * 1000 + t, out_size=size, n_pores=n_pores)
+                    ridge_seed, s * 1000 + t, out_size=size,
+                    n_pores=n_pores, pore_seed=pore_seed)
                 write_subject(root / split_dir, f"f{fid:04d}_{s}_{t}",
                               img, pores, ids)
 
     fid = 0
-    for i in range(train_n):
-        write_finger(Path(f"R{i % 3 + 1}"), fid)
-        fid += 1
-    for _ in range(test_n):
-        write_finger(Path("R4"), fid)
-        fid += 1
-    for _ in range(val_n):
-        write_finger(Path("R5"), fid)
-        fid += 1
+    for split_n, dirs in ((train_n, ("R1", "R2", "R3")),
+                          (test_n, ("R4",)), (val_n, ("R5",))):
+        n_sib = int(round(split_n * sibling_fraction)) if multi else 0
+        for i in range(split_n):
+            ridge_seed = seed * 100_003 + fid
+            write_finger(Path(dirs[i % len(dirs)]), fid, ridge_seed)
+            fid += 1
+            if i < n_sib:
+                # sibling rides the PREVIOUS finger's ridge field; its pore
+                # layout is seeded by its own fid so it is independent
+                write_finger(Path(dirs[i % len(dirs)]), fid, ridge_seed,
+                             pore_seed=seed * 900_007 + fid)
+                fid += 1
     return root
 
 
@@ -290,9 +316,12 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sessions", type=int, default=1)
     ap.add_argument("--stances", type=int, default=1)
+    ap.add_argument("--sibling-fraction", type=float, default=0.0,
+                    help="fraction of fingers that get a same-ridge-field "
+                         "sibling (hard impostors)")
     args = ap.parse_args()
     out = generate_synthetic_dataset(
         args.root, fingers_per_split=(args.train, args.test, args.val),
         n_pores=args.pores, seed=args.seed, sessions=args.sessions,
-        stances=args.stances)
+        stances=args.stances, sibling_fraction=args.sibling_fraction)
     print(f"synthetic dataset written to {out}")

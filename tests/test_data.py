@@ -269,3 +269,28 @@ def test_grayscale_collate_equivalent(synth_root, tmp_path, cfg):
     assert b1.images.shape[-1] == 1 and b1.images.dtype == np.uint8
     # un-augmented generator output is pure grayscale -> luma == channel 0
     np.testing.assert_array_equal(b1.images[..., 0], b3.images[..., 0])
+
+
+def test_sibling_fingers_hard_impostors(tmp_path):
+    """sibling_fraction writes same-ridge-field / independent-pore fingers:
+    the hard impostor pairs of pore verification."""
+    from fpmatch_tpu.data.generator import _render_canonical
+
+    img_a, pores_a = _render_canonical(7, (120, 100), 9.0, 40,
+                                       draw_pores=False)
+    img_b, pores_b = _render_canonical(7, (120, 100), 9.0, 40,
+                                       draw_pores=False, pore_seed=12345)
+    np.testing.assert_array_equal(img_a, img_b)  # identical ridge field
+    common = (set(map(tuple, pores_a.tolist()))
+              & set(map(tuple, pores_b.tolist())))
+    assert len(common) < 0.2 * len(pores_a)  # independent pore layouts
+
+    root = tmp_path / "SynthSib"
+    generate_synthetic_dataset(str(root), fingers_per_split=(2, 2, 0),
+                               n_pores=40, seed=3, size=(120, 100),
+                               sessions=2, stances=1, sibling_fraction=0.5)
+    import os
+    test_stems = {f[:-4] for f in os.listdir(root / "R4")
+                  if f.endswith(".jpg")}
+    # 2 test fingers + 1 sibling, x2 sessions
+    assert len(test_stems) == 6
