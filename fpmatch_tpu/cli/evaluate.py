@@ -67,6 +67,7 @@ def main(argv=None):
                            task="classify")
     pd = PairDataset(bench, cfg, augment=args.augment)
     loader = DataLoader(pd, cfg, drop_last=False, device_prefetch=True)
+    pair_ids = list(pd.pairs)
     log(f"test pairs: {len(pd)}")
 
     model = NGMNet(cfg)
@@ -107,6 +108,20 @@ def main(argv=None):
     labels = np.concatenate(labels)
     scores = np.concatenate(scores)
     k_probs = np.concatenate(k_probs)
+
+    # per-pair scores (subset analyses, e.g. sibling hard-impostor EER via
+    # scripts/hard_impostor_report.py). The loader is sequential
+    # (shuffle=False) and the final partial batch wraps indices mod the
+    # dataset length — reproduce that to align ids with scores.
+    scores_path = os.path.join(args.output_dir, "scores.csv")
+    with open(scores_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id_a", "id_b", "label", "score", "k_prob"])
+        for i in range(len(scores)):
+            a, b = pair_ids[i % len(pair_ids)]
+            w.writerow([a, b, int(labels[i]), f"{scores[i]:.6f}",
+                        f"{k_probs[i]:.6f}"])
+    log(f"wrote {scores_path}")
 
     report = verification_metrics(labels, scores)
     log(f"report: { {k: round(v, 5) for k, v in report.items()} }")
