@@ -6,11 +6,16 @@ Prints ONE JSON line:
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 BASELINE.json's target is ">=2x reference matched-pairs/s on one chip".
-We estimate the reference's end-to-end forward at ~10 pairs/s on its A100
-setup (batch 8 taking ~0.8 s: per-sample Python loops over sparse assoc
-graphs, eager Sinkhorn iterations, host Hungarian — src/model/ngm.py:326-449),
-and report vs_baseline = pairs_per_s / (2 * 10.0) so that 1.0 == the 2x
-target. Extra fields beyond the required four give the full picture.
+Measured anchor (scripts/bench_reference_cpu.py, idle host, 2026-08-18):
+the reference's OWN torch hot ops — Sinkhorn forward_ori 2.2 ms + soft_topk
+13.6 ms + kronecker assembly 3.2 ms ≈ 19 ms/pair — cap it at ~53 pairs/s on
+this host's CPU before counting the CNN, SplineConv, the per-sample Python
+loop over sparse assoc graphs (src/model/ngm.py:326-449), and data loading.
+On its A100 the eager 20-iteration Sinkhorn and the data-dependent soft-topk
+overshoot loop are kernel-launch/sync-bound, not FLOP-bound. We estimate the
+full reference pipeline at ~10 pairs/s end-to-end and report
+vs_baseline = pairs_per_s / (2 * 10.0) so that 1.0 == the 2x target.
+Extra fields beyond the required four give the full picture.
 """
 from __future__ import annotations
 
