@@ -154,3 +154,22 @@ def grid_search_thresholds(model, variables, images, pore_sets, *, window,
         if r["f_score"] > best_f:
             best_iou, best_f = iou, r["f_score"]
     return {"probability": best_p, "nms_iou": best_iou, "f_score": best_f}
+
+
+def save_variables(path, variables) -> None:
+    """Persist trained detector variables as a flat .npz (no orbax — pore
+    detectors are small and the reference ships raw state dicts too,
+    pore-detection/train.py torch.save)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    np.savez(path, **flat)
+
+
+def load_variables(path):
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    return unflatten_dict(flat)
