@@ -131,3 +131,19 @@ def test_lemes_dpf_detects_synthetic_pores():
     assert (pred[:, 1] >= 0).all() and (pred[:, 1] < 240).all()
     r = detection_scores(gt, pred)
     assert r["f_score"] > 0.3
+
+
+def test_variables_save_load_roundtrip(tmp_path):
+    """npz persistence for trained detectors (scripts/train_poredet.py)."""
+    import numpy as np
+    from fpmatch_tpu.poredet.train import save_variables, load_variables
+
+    v = {"params": {"conv": {"kernel": np.arange(12.0).reshape(3, 2, 2)}},
+         "batch_stats": {"bn": {"mean": np.zeros(4), "var": np.ones(4)}}}
+    path = str(tmp_path / "det.npz")
+    save_variables(path, v)
+    w = load_variables(path)
+    np.testing.assert_array_equal(np.asarray(w["params"]["conv"]["kernel"]),
+                                  v["params"]["conv"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(w["batch_stats"]["bn"]["var"]),
+                                  v["batch_stats"]["bn"]["var"])
