@@ -35,6 +35,14 @@ def main(argv=None):
     ap.add_argument("--num-viz", type=int, default=4)
     ap.add_argument("--augment", action="store_true",
                     help="augment test pairs (harder cross-session protocol)")
+    ap.add_argument("--score", default="fused",
+                    choices=["fused", "cls", "k"],
+                    help="verification score: 'fused' = cls_prob * k_prob "
+                         "(the AFA-U matchable-fraction is the pore-level "
+                         "signal — against same-ridge-field sibling "
+                         "impostors it cuts EER ~8x vs the reference's "
+                         "classifier-only score, see RESULTS.md); 'cls' = "
+                         "reference-parity classifier probability")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -106,8 +114,11 @@ def main(argv=None):
             viz_saved += save_match_viz(batch, out, args.output_dir,
                                         viz_saved, args.num_viz)
     labels = np.concatenate(labels)
-    scores = np.concatenate(scores)
+    cls_scores = np.concatenate(scores)
     k_probs = np.concatenate(k_probs)
+    scores = {"fused": cls_scores * k_probs, "cls": cls_scores,
+              "k": k_probs}[args.score]
+    log(f"verification score: {args.score}")
 
     # per-pair scores (subset analyses, e.g. sibling hard-impostor EER via
     # scripts/hard_impostor_report.py). The loader is sequential
@@ -116,11 +127,11 @@ def main(argv=None):
     scores_path = os.path.join(args.output_dir, "scores.csv")
     with open(scores_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["id_a", "id_b", "label", "score", "k_prob"])
+        w.writerow(["id_a", "id_b", "label", "score", "cls_prob", "k_prob"])
         for i in range(len(scores)):
             a, b = pair_ids[i % len(pair_ids)]
             w.writerow([a, b, int(labels[i]), f"{scores[i]:.6f}",
-                        f"{k_probs[i]:.6f}"])
+                        f"{cls_scores[i]:.6f}", f"{k_probs[i]:.6f}"])
     log(f"wrote {scores_path}")
 
     report = verification_metrics(labels, scores)

@@ -196,7 +196,11 @@ def evaluate_verification(model: NGMNet, state: TrainState,
         scores.append(np.asarray(out["cls_prob"]))
         k_probs.append(np.asarray(out["k_prob"]))
     labels = np.concatenate(labels)
-    scores = np.concatenate(scores)
+    # fused verification score: cls_prob * k_prob. The AFA-U matchable-
+    # fraction carries the pore-constellation signal the classifier alone
+    # misses against same-ridge-field sibling impostors (RESULTS.md:
+    # sibling EER 0.42 -> 0.05); matches cli/evaluate.py --score fused.
+    scores = np.concatenate(scores) * np.concatenate(k_probs)
     report: Dict[str, float] = dict(match_stats.get())
     if len(np.unique(labels)) == 2:
         report.update(verification_metrics(labels, scores))
