@@ -78,6 +78,10 @@ def main(argv=None):
                          "in-training eval (full protocol: cli/evaluate.py)")
     ap.add_argument("--thread-workers", action="store_true",
                     help="use thread workers instead of worker processes")
+    ap.add_argument("--cls-k-features", action="store_true",
+                    help="feed [k_prob, matched fraction, mean matched "
+                         "similarity] into the match classifier (trains the "
+                         "cls*k fusion; new-checkpoint shapes)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -108,6 +112,9 @@ def main(argv=None):
     if not args.thread_workers:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, worker_processes=True))
+    if args.cls_k_features:
+        cfg = dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
     # fingerprint scans are grayscale: ship luma only (3x less H2D)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, image_channels=1))

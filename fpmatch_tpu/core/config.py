@@ -83,6 +83,13 @@ class NGMConfig:
     # "while any(log_s > 0)" overshoot loop (soft_topk.py:232-241)
     topk_extra_iter: int = 6
     match_cls_channels: Tuple[int, ...] = (16, 32)
+    # append [k_prob, matched_count/min_pts, mean matched similarity] to the
+    # classifier's pooled features: the matchable fraction carries the
+    # pore-constellation signal the similarity map misses against
+    # same-ridge-field sibling impostors (RESULTS.md; trains the cls·k
+    # fusion instead of applying it post-hoc). Default off: checkpoint
+    # compatibility with the reference-shaped classifier.
+    cls_k_features: bool = False
     # third-order (triangle hyperedge) association term. The reference
     # builds the machinery (gmdataset.py:180-189, spline_conv.py:83-100)
     # but never turns it on (ngm.py:255 passes hyperedge=False); here the

@@ -170,8 +170,15 @@ class MatchClassifier(nn.Module):
     channels: Tuple[int, ...] = (16, 32)
 
     @nn.compact
-    def __call__(self, match_mat, n1, n2, train: bool = False):
-        """match_mat: (B, S1, S2); n1, n2: (B,) valid counts."""
+    def __call__(self, match_mat, n1, n2, train: bool = False,
+                 extra_features=None):
+        """match_mat: (B, S1, S2); n1, n2: (B,) valid counts.
+
+        extra_features: optional (B, F) scalars appended to the pooled
+        representation before the final Dense — e.g. the AFA-U matchable
+        fraction and match-map statistics (`ngm.cls_k_features`), which
+        carry the pore-constellation signal the similarity map alone misses
+        against same-ridge-field impostors (RESULTS.md sibling study)."""
         x = match_mat[..., None]
 
         def level_mask(h, w, shift):
@@ -194,6 +201,8 @@ class MatchClassifier(nn.Module):
         m = level_mask(x.shape[1], x.shape[2], len(self.channels))
         pooled = (x * m).sum(axis=(1, 2)) / jnp.maximum(
             m.sum(axis=(1, 2)), 1.0)
+        if extra_features is not None:
+            pooled = jnp.concatenate([pooled, extra_features], axis=-1)
         return nn.Dense(1, name="fc")(pooled)[..., 0]
 
 

