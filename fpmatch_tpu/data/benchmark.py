@@ -40,6 +40,7 @@ class Benchmark:
         self.pair_protocol = pair_protocol
         self.data_dict = dataset.load_index()
         self.classes = sorted({v["cls"] for v in self.data_dict.values()})
+        self.seed = seed
         self.rng = random.Random(seed)
         self._classify_pairs: Optional[List[Tuple[str, str]]] = None
 
@@ -103,6 +104,31 @@ class Benchmark:
         except ValueError:
             return None
 
+    def _sibling_partners(self) -> Dict[str, str]:
+        """person -> partner person, from <dataset root>/siblings.json.
+
+        The synthetic generator records sibling fingers (same canonical ridge
+        field, independent pore layout — data/generator.py add_sibling_fingers)
+        in a sidecar so the pair protocols can serve sibling↔partner pairs,
+        the hard negatives of pore verification, with guaranteed coverage
+        rather than leaving them to uniform impostor sampling (~0.5% odds)."""
+        import json
+        from pathlib import Path
+
+        root = getattr(self.dataset, "root", None)
+        if root is None:
+            return {}
+        f = Path(root) / "siblings.json"
+        if not f.exists():
+            return {}
+        finger_map = json.loads(f.read_text())      # bare finger names
+        persons = {v["cls"] for v in self.data_dict.values()}
+        by_finger: Dict[str, str] = {}
+        for p in persons:
+            by_finger[p.split("_", 1)[1] if "_" in p else p] = p
+        return {by_finger[s]: by_finger[t] for s, t in finger_map.items()
+                if s in by_finger and t in by_finger}
+
     def _self_pairs(self) -> List[Tuple[str, str]]:
         groups = defaultdict(list)
         for k, v in self.data_dict.items():
@@ -111,7 +137,9 @@ class Benchmark:
         fids = [f for f in groups if groups[f]]
         imposter = [(groups[a][0], groups[b][0])
                     for a in fids for b in fids if a != b]
-        return self._balance(genuine, imposter)
+        hard = [(groups[a][0], groups[b][0])
+                for a, b in self._sibling_partners().items() if groups.get(b)]
+        return self._balance(genuine, imposter, hard)
 
     def _session_pairs(self) -> List[Tuple[str, str]]:
         parsed: Dict[str, Dict[int, Dict[int, str]]] = {}
@@ -141,13 +169,35 @@ class Benchmark:
                     id_b2 = parsed[pa].get(2, {}).get(1)
                     if id_a2 is not None and id_b2 is not None:
                         imposter.append((id_a2, id_b2))
-        return self._balance(genuine, imposter)
+        # sibling↔partner: enumerate EVERY cross-session impression pair in
+        # both directions (these carry the pore-constellation signal)
+        hard = []
+        for pa, pb in self._sibling_partners().items():
+            if pa not in parsed or pb not in parsed:
+                continue
+            for x, y in ((pa, pb), (pb, pa)):
+                for id1 in parsed[x].get(1, {}).values():
+                    for id2 in parsed[y].get(2, {}).values():
+                        hard.append((id1, id2))
+        return self._balance(genuine, imposter, hard)
 
-    def _balance(self, genuine, imposter) -> List[Tuple[str, str]]:
+    def _balance(self, genuine, imposter, hard=()) -> List[Tuple[str, str]]:
+        """test: full enumeration (+ the sibling hard pairs not already in
+        it). train/val: guarantee every hard pair is served, fill the rest of
+        the imposter half with a seeded SHUFFLE of the pool before truncating
+        — an ordered truncation would draw all imposters from the first few
+        persons of the index."""
+        hard = list(dict.fromkeys(hard))
         if self.sets == "test":
-            return genuine + imposter
-        n = min(len(genuine), len(imposter))
-        return genuine[:n] + imposter[:n]
+            seen = set(imposter)
+            return genuine + imposter + [p for p in hard if p not in seen]
+        rng = random.Random(self.seed * 7_654_321 + 13)
+        genuine = list(genuine)
+        rest = [p for p in imposter if p not in set(hard)]
+        rng.shuffle(genuine)
+        rng.shuffle(rest)
+        n = min(len(genuine), len(hard) + len(rest))
+        return genuine[:n] + (hard + rest)[:n]
 
     def classify_pairs(self) -> List[Tuple[str, str]]:
         if self._classify_pairs is None:
@@ -201,6 +251,8 @@ def make_benchmark(name: str, sets: str, root: Optional[str] = None,
     ds_kw = {"task": task}
     if root is not None:
         ds_kw["root"] = root
+    if "output_dir" in kw:                     # index-cache location
+        ds_kw["output_dir"] = kw.pop("output_dir")
     ds = ds_cls(sets, **ds_kw)
     ds.build_index()
     return Benchmark(ds, pair_protocol=protocol, **kw)

@@ -288,20 +288,69 @@ def generate_synthetic_dataset(root: str, *, fingers_per_split=(12, 4, 4),
                               img, pores, ids)
 
     fid = 0
+    sib_map: dict = {}
     for split_n, dirs in ((train_n, ("R1", "R2", "R3")),
                           (test_n, ("R4",)), (val_n, ("R5",))):
         n_sib = int(round(split_n * sibling_fraction)) if multi else 0
         for i in range(split_n):
             ridge_seed = seed * 100_003 + fid
             write_finger(Path(dirs[i % len(dirs)]), fid, ridge_seed)
+            partner = fid
             fid += 1
             if i < n_sib:
                 # sibling rides the PREVIOUS finger's ridge field; its pore
                 # layout is seeded by its own fid so it is independent
                 write_finger(Path(dirs[i % len(dirs)]), fid, ridge_seed,
                              pore_seed=seed * 900_007 + fid)
+                sib_map[f"f{fid:04d}"] = f"f{partner:04d}"
                 fid += 1
+    if sib_map:
+        update_sibling_map(root, sib_map)
     return root
+
+
+def update_sibling_map(root, mapping: dict) -> Path:
+    """Merge `mapping` (sibling finger name -> partner finger name) into
+    <root>/siblings.json — the sidecar the Benchmark pair protocols read to
+    guarantee sibling hard-impostor pairs are served (data/benchmark.py)."""
+    import json
+    path = Path(root) / "siblings.json"
+    current = json.loads(path.read_text()) if path.exists() else {}
+    current.update(mapping)
+    path.write_text(json.dumps(current, indent=0, sort_keys=True))
+    return path
+
+
+def add_sibling_fingers(root, partner_fids, *, offset: int, seed: int,
+                        n_pores: int = 120, size=(480, 400), sessions: int = 2,
+                        stances: int = 2) -> dict:
+    """Extend an EXISTING multi-impression dataset with sibling fingers.
+
+    For each partner fid, re-derives its ridge seed (`seed` must be the
+    dataset's original generation seed — seed*100_003+fid), renders a new
+    finger with the SAME ridge field but an independently seeded pore layout,
+    and writes it as f{fid+offset:04d} into the partner's split directory.
+    Records the pairs in <root>/siblings.json. Returns the new mapping."""
+    root = Path(root)
+    mapping = {}
+    for fid in partner_fids:
+        hits = [d for d in ("R1", "R2", "R3", "R4", "R5")
+                if list((root / d).glob(f"f{fid:04d}_1_1.*"))]
+        if not hits:
+            raise FileNotFoundError(f"partner f{fid:04d} not found under {root}")
+        split_dir = root / hits[0]
+        sib = fid + offset
+        ridge_seed = seed * 100_003 + fid
+        pore_seed = seed * 900_007 + sib
+        for s in range(1, sessions + 1):
+            for t in range(1, stances + 1):
+                img, pores, ids = render_impression(
+                    ridge_seed, s * 1000 + t, out_size=size,
+                    n_pores=n_pores, pore_seed=pore_seed)
+                write_subject(split_dir, f"f{sib:04d}_{s}_{t}", img, pores, ids)
+        mapping[f"f{sib:04d}"] = f"f{fid:04d}"
+    update_sibling_map(root, mapping)
+    return mapping
 
 
 if __name__ == "__main__":
@@ -319,9 +368,25 @@ if __name__ == "__main__":
     ap.add_argument("--sibling-fraction", type=float, default=0.0,
                     help="fraction of fingers that get a same-ridge-field "
                          "sibling (hard impostors)")
+    ap.add_argument("--extend-partners", default=None,
+                    help="extend an EXISTING dataset instead of generating: "
+                         "a-b fid range of partner fingers to grow siblings "
+                         "for (e.g. 0-29); --seed must be the original "
+                         "generation seed")
+    ap.add_argument("--extend-offset", type=int, default=400,
+                    help="sibling fid = partner fid + this offset")
     args = ap.parse_args()
-    out = generate_synthetic_dataset(
-        args.root, fingers_per_split=(args.train, args.test, args.val),
-        n_pores=args.pores, seed=args.seed, sessions=args.sessions,
-        stances=args.stances, sibling_fraction=args.sibling_fraction)
-    print(f"synthetic dataset written to {out}")
+    if args.extend_partners:
+        a, b = (int(x) for x in args.extend_partners.split("-"))
+        mapping = add_sibling_fingers(
+            args.root, range(a, b + 1), offset=args.extend_offset,
+            seed=args.seed, n_pores=args.pores,
+            sessions=args.sessions, stances=args.stances)
+        print(f"wrote {len(mapping)} siblings into {args.root} "
+              f"(siblings.json updated)")
+    else:
+        out = generate_synthetic_dataset(
+            args.root, fingers_per_split=(args.train, args.test, args.val),
+            n_pores=args.pores, seed=args.seed, sessions=args.sessions,
+            stances=args.stances, sibling_fraction=args.sibling_fraction)
+        print(f"synthetic dataset written to {out}")

@@ -68,6 +68,10 @@ class PairDataset:
         else:
             self.pairs = bench.match_combinations()
         if length is not None and bench.sets != "test":
+            # seeded shuffle first: the pair list is genuine-then-imposter,
+            # so an ordered truncation would keep genuine pairs only
+            import random as _random
+            _random.Random(seed * 99_991 + 7).shuffle(self.pairs)
             self.pairs = self.pairs[:length]
 
     def __len__(self):

@@ -33,8 +33,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scores_csv")
     ap.add_argument("--sibling-offset", type=int, default=200,
-                    help="sibling fid = partner fid + offset")
+                    help="sibling fid = partner fid + offset (fallback when "
+                         "no siblings.json)")
     ap.add_argument("--partner-base", type=int, default=100)
+    ap.add_argument("--siblings-json", default="dataset/SyntheticV2/"
+                    "siblings.json",
+                    help="generator sidecar mapping sibling finger -> "
+                         "partner finger; used instead of the offset "
+                         "heuristic when it exists")
     args = ap.parse_args()
 
     rows = list(csv.DictReader(open(args.scores_csv)))
@@ -45,10 +51,26 @@ def main():
         m = re.search(r"f(\d+)$", p)
         return int(m.group(1)) if m else None
 
+    import os
+    pair_set = None
+    if args.siblings_json and os.path.exists(args.siblings_json):
+        mapping = json.load(open(args.siblings_json))
+
+        def bare(p):
+            return p.split("_", 1)[1] if "_" in p else p
+        pair_set = {frozenset((s, t)) for s, t in mapping.items()}
+
     sib_mask = np.zeros(len(rows), bool)
     for i, r in enumerate(rows):
-        fa, fb = fid(person(r["id_a"])), fid(person(r["id_b"]))
-        if fa is None or fb is None or labels[i] == 1:
+        if labels[i] == 1:
+            continue
+        pa, pb = person(r["id_a"]), person(r["id_b"])
+        if pair_set is not None:
+            if frozenset((bare(pa), bare(pb))) in pair_set:
+                sib_mask[i] = True
+            continue
+        fa, fb = fid(pa), fid(pb)
+        if fa is None or fb is None:
             continue
         lo, hi = min(fa, fb), max(fa, fb)
         if hi == lo + args.sibling_offset and lo >= args.partner_base:

@@ -294,3 +294,76 @@ def test_sibling_fingers_hard_impostors(tmp_path):
                   if f.endswith(".jpg")}
     # 2 test fingers + 1 sibling, x2 sessions
     assert len(test_stems) == 6
+
+
+def test_sibling_map_guarantees_hard_pairs(tmp_path):
+    """The generator records sibling partnerships in siblings.json; the
+    session pair protocol then serves EVERY sibling cross-session pair to
+    training (guaranteed hard negatives) and appends the extra enumerations
+    to the test set."""
+    import json
+    import os
+
+    root = tmp_path / "SynthSibMap"
+    generate_synthetic_dataset(str(root), fingers_per_split=(4, 2, 0),
+                               n_pores=40, seed=5, size=(120, 100),
+                               sessions=2, stances=2, sibling_fraction=0.5)
+    mapping = json.loads((root / "siblings.json").read_text())
+    assert len(mapping) == 3          # 2 train siblings + 1 test sibling
+
+    def sib_pairs(bm, pairs):
+        person = {k: v["cls"] for k, v in bm.data_dict.items()}
+        bare = lambda p: p.split("_", 1)[1]
+        pset = {frozenset((s, t)) for s, t in mapping.items()}
+        return [p for p in pairs
+                if frozenset((bare(person[p[0]]), bare(person[p[1]]))) in pset]
+
+    bm = make_benchmark("Synthetic", "train", root=str(root), task="classify",
+                        output_dir=str(tmp_path / "i1"))
+    pairs = bm.classify_pairs()
+    # every sibling cross-session pair is served: 2 siblings x 2 directions
+    # x (2 stances x 2 stances) = 16
+    assert len(sib_pairs(bm, pairs)) == 16
+    genuine = [p for p in pairs if bm.is_genuine(*p)]
+    assert len(genuine) == len(pairs) - len(genuine)   # still balanced
+
+    bm_t = make_benchmark("Synthetic", "test", root=str(root),
+                          task="classify", output_dir=str(tmp_path / "i2"))
+    assert len(sib_pairs(bm_t, bm_t.classify_pairs())) == 8  # 1 sibling
+
+
+def test_train_imposter_truncation_is_shuffled(tmp_path):
+    """Balancing must sample the imposter pool, not take a prefix — the
+    ordered list is grouped by person, so a prefix draws impostors from the
+    first few fingers only."""
+    root = tmp_path / "SynthShuf"
+    generate_synthetic_dataset(str(root), fingers_per_split=(10, 0, 0),
+                               n_pores=40, seed=6, size=(120, 100),
+                               sessions=2, stances=1)
+    bm = make_benchmark("Synthetic", "train", root=str(root), task="classify",
+                        output_dir=str(tmp_path / "i3"))
+    pairs = bm.classify_pairs()
+    imposters = [p for p in pairs if not bm.is_genuine(*p)]
+    persons = {bm.data_dict[i]["cls"] for p in imposters for i in p}
+    assert len(imposters) == 10       # balanced against 10 genuine
+    assert len(persons) >= 8          # drawn across the population
+    assert bm.classify_pairs() == pairs   # deterministic
+
+
+def test_add_sibling_fingers_extends_dataset(tmp_path):
+    """add_sibling_fingers grows sibling fingers next to their partners in an
+    existing dataset and the ridge fields match the partner's exactly."""
+    from fpmatch_tpu.data.generator import add_sibling_fingers
+
+    root = tmp_path / "SynthExt"
+    generate_synthetic_dataset(str(root), fingers_per_split=(3, 0, 0),
+                               n_pores=40, seed=9, size=(120, 100),
+                               sessions=2, stances=1)
+    mapping = add_sibling_fingers(str(root), [0, 2], offset=100, seed=9,
+                                  n_pores=40, size=(120, 100),
+                                  sessions=2, stances=1)
+    assert mapping == {"f0100": "f0000", "f0102": "f0002"}
+    # sibling lives in the partner's split dir, all impressions written
+    assert (root / "R1" / "f0100_1_1.jpg").exists()
+    assert (root / "R1" / "f0100_2_1.tsv").exists()
+    assert (root / "R3" / "f0102_1_1.jpg").exists()
