@@ -43,6 +43,8 @@ def main(argv=None):
                          "impostors it cuts EER ~8x vs the reference's "
                          "classifier-only score, see RESULTS.md); 'cls' = "
                          "reference-parity classifier probability")
+    ap.add_argument("--thread-workers", action="store_true",
+                    help="thread loader workers instead of spawn processes")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -68,7 +70,7 @@ def main(argv=None):
                                     univ_size=args.univ))
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size,
-                                      worker_processes=True,
+                                      worker_processes=not args.thread_workers,
                                       image_channels=1))
 
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
@@ -146,6 +148,31 @@ def main(argv=None):
         w.writerow(cols)
         w.writerow([report[c] for c in cols])
     log(f"wrote {csv_path}")
+
+    # sibling hard-impostor subset (when the dataset has a siblings.json
+    # sidecar): EER restricted to sibling↔partner impostors + all genuine,
+    # and the sibling FAR at the full-set EER threshold
+    partners = bench._sibling_partners()
+    if partners:
+        pset = {frozenset(it) for it in partners.items()}
+        person = {k: v["cls"] for k, v in bench.data_dict.items()}
+        sib_mask = np.array(
+            [labels[i] == 0 and frozenset(
+                (person[pair_ids[i % len(pair_ids)][0]],
+                 person[pair_ids[i % len(pair_ids)][1]])) in pset
+             for i in range(len(scores))])
+        if sib_mask.any():
+            sel = (labels == 1) | sib_mask
+            sib = verification_metrics(labels[sel], scores[sel])
+            sib["sibling_far_at_full_threshold"] = float(
+                (scores[sib_mask] >= report["threshold"]).mean())
+            sib["n_sibling_impostors"] = int(sib_mask.sum())
+            log(f"sibling subset: { {k: round(v, 5) for k, v in sib.items()} }")
+            with open(os.path.join(args.output_dir, "sibling_metrics.csv"),
+                      "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(sorted(sib))
+                w.writerow([sib[c] for c in sorted(sib)])
 
     plot_curves(labels, scores, k_probs, args.output_dir)
     return report
