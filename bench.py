@@ -245,13 +245,22 @@ def run_stage(stage: str) -> dict:
         return {"assoc_spmm_edges_per_s": round(v, 0),
                 **bench_univ_xla()}
     if stage == "model":
+        import dataclasses
         model = NGMNet(cfg)
         variables = model.init(jax.random.PRNGKey(0), batch, train=False)
         pairs_per_s, _ = bench_forward(cfg, model, variables, batch)
         note(f"forward: {pairs_per_s:.1f}")
         train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
         note(f"train: {train_pairs_per_s:.1f}")
+        # mixed-precision option: bf16 backbone compute (f32 params/BN),
+        # the flagship config stays f32 — this field shows the headroom
+        cfg16 = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"))
+        model16 = NGMNet(cfg16)
+        train16 = bench_train_step(cfg16, model16, variables, batch)
+        note(f"train bf16 backbone: {train16:.1f}")
         return {
+            "train_step_bf16_backbone_pairs_per_s": round(train16, 2),
             "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
             "value": round(pairs_per_s, 2),
             "unit": "pairs/s",
