@@ -159,14 +159,19 @@ def main(argv=None):
         f"devices={jax.devices()}")
 
     if args.init_from:
-        from ..train.checkpoints import restore_params
-        from ..train.state import create_state
+        from ..train.checkpoints import restore_loose, warm_start
         ckpt_dir, _, name = args.init_from.partition(":")
-        tmpl = create_state(variables, stages[0])
-        restored = restore_params(ckpt_dir, name or "stage6_last", tmpl)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
-        log(f"warm-started from {args.init_from}")
+        restored = restore_loose(ckpt_dir, name or "stage6_last")
+        before = jax.tree_util.tree_leaves(variables["params"])
+        variables = {
+            "params": warm_start(variables["params"], restored["params"]),
+            "batch_stats": warm_start(variables["batch_stats"],
+                                      restored["batch_stats"])}
+        after = jax.tree_util.tree_leaves(variables["params"])
+        kept = sum(a is not b for a, b in zip(after, before))
+        log(f"warm-started from {args.init_from}: "
+            f"{kept}/{len(after)} param tensors restored "
+            f"(shape-mismatched tensors keep their fresh init)")
 
     state, history = run_curriculum(
         model, variables, stages, loaders["train"], loaders["val"],

@@ -48,6 +48,22 @@ def restore_params(ckpt_dir: str, name: str, template) -> Any:
     return ckptr.restore(path, target)
 
 
+def restore_loose(ckpt_dir: str, name: str) -> Any:
+    """Restore a checkpoint WITHOUT a shape template, as host numpy arrays —
+    for cross-architecture warm starts where the strict template restore of
+    restore_params would raise on any shape change (e.g. warm-starting a
+    stride-8 multi-tap model from a stride-16 run), and independent of the
+    devices the checkpoint was saved on (a templateless StandardCheckpointer
+    restore replays saved shardings and fails off-device). Pair with
+    warm_start."""
+    path = os.path.join(_abs(ckpt_dir), name)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def warm_start(params, restored_params) -> Any:
     """Copy restored leaves into `params` wherever path+shape match — the
     shape-mismatch-tolerant load of utils/models_sl.py:20-28 that lets the

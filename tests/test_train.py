@@ -158,3 +158,29 @@ def test_permutation_loss_finite_at_perfect_prediction():
     g = p
     l = float(permutation_loss(p, g, jnp.asarray([2]), jnp.asarray([2])))
     assert np.isfinite(l) and l < 1e-5
+
+
+def test_restore_loose_cross_architecture(tmp_path):
+    """restore_loose + warm_start: a checkpoint saved from one architecture
+    warm-starts another (shape-mismatched tensors keep their fresh init) and
+    the restore is a host-numpy load — no device/sharding replay."""
+    from fpmatch_tpu.train.checkpoints import (restore_loose, save_checkpoint,
+                                               warm_start)
+
+    a = {"params": {"w": jnp.ones((4, 4)), "v": jnp.ones((3,))},
+         "batch_stats": {"m": jnp.zeros((3,))}}
+
+    class S:
+        params = a["params"]
+        batch_stats = a["batch_stats"]
+        step = jnp.zeros((), jnp.int32)
+
+    save_checkpoint(str(tmp_path), "ck", S)
+    restored = restore_loose(str(tmp_path), "ck")
+    fresh = {"w": jnp.full((4, 4), 7.0),      # same shape -> restored
+             "v": jnp.full((5,), 7.0),        # changed shape -> kept fresh
+             "u": jnp.full((2,), 7.0)}        # new tensor -> kept fresh
+    out = warm_start(fresh, restored["params"])
+    assert isinstance(out["w"], np.ndarray) and out["w"].sum() == 16
+    np.testing.assert_array_equal(out["v"], fresh["v"])
+    np.testing.assert_array_equal(out["u"], fresh["u"])
