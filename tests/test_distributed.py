@@ -43,9 +43,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-@pytest.mark.xdist_group("mesh8")
-def test_two_process_distributed_psum(tmp_path):
+def _run_two_process(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     addr = f"127.0.0.1:{port.getsockname()[1]}"
@@ -69,6 +67,22 @@ def test_two_process_distributed_psum(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=300)
         outs.append(out)
+    errors = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
-        assert f"proc{pid} OK" in out
+        if p.returncode != 0 or f"proc{pid} OK" not in out:
+            errors.append(f"proc{pid} rc={p.returncode}:\n{out}")
+    return errors
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("mesh8")
+def test_two_process_distributed_psum(tmp_path):
+    # One retry with a fresh coordinator port: the ephemeral port is released
+    # before the workers bind it (another process can race it), and under a
+    # fully loaded 4-core host the jax.distributed startup barrier can time
+    # out. Both are environmental, not program bugs — a clean second attempt
+    # distinguishes them from real failures.
+    errors = _run_two_process(tmp_path)
+    if errors:
+        errors = _run_two_process(tmp_path)
+    assert not errors, "\n".join(errors)
