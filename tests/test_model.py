@@ -231,3 +231,25 @@ def test_cls_k_features_pathway():
     vb = base.init(jax.random.PRNGKey(0), batch, train=False)
     fc_b = vb["params"]["match_cls"]["fc"]["kernel"]
     assert fc_k.shape[0] == fc_b.shape[0] + 3
+
+
+def test_stride8_multitap_pathway():
+    """node_taps=('layer2','layer3'): the stride-8 multi-tap config (the
+    quality-frontier lever, RESULTS.md) aligns features from BOTH stages at
+    the keypoints — node feature dim grows to 128+256+512 and the forward
+    stays finite. Mirrors cli/train.py --node-taps layer2,layer3."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        backbone=dataclasses.replace(cfg.backbone,
+                                     node_taps=("layer2", "layer3")),
+        ngm=dataclasses.replace(cfg.ngm, node_feature_dim=128 + 256 + 512))
+    batch = make_batch(rng)
+    model = NGMNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert out["cls_prob"].shape == (batch.batch_size,)
+    assert np.isfinite(np.asarray(out["raw_scores"])).all()
+    assert np.isfinite(np.asarray(out["k_prob"])).all()
