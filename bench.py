@@ -147,15 +147,9 @@ def bench_pallas_spmm(cfg, batch, iters=50, precision="highest"):
     return nnz / dt
 
 
-def bench_univ(iters=10):
-    """UNIV-scale (n=600, e≈3600, ~13M assoc edges/pair) single-pair matvec:
-    the XLA fused einsum vs the blocked-locality Pallas kernel
-    (kernels/assoc_univ.py). Runs in its own subprocess stage."""
+def _univ_problem():
     import jax.numpy as jnp
     from fpmatch_tpu.core.build_graphs import build_edges
-    from fpmatch_tpu.kernels.assoc_univ import (assoc_matvec_univ,
-                                                gather_ke_blocks, plan_univ)
-    from fpmatch_tpu.ops.assoc import assoc_matvec_fused
 
     rng = np.random.default_rng(0)
     n, c = 600, 16
@@ -167,23 +161,76 @@ def bench_univ(iters=10):
     Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
     Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
     nnz = len(s1) * len(s2) + n * n
+    return pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz
 
-    import jax.numpy as jnp2
+
+def chained_slope_seconds(make_fn, lo=2, hi=12, repeats=3):
+    """Per-invocation seconds of a chained computation, by slope.
+
+    The axon tunnel has a large, state-dependent per-DISPATCH cost (up to
+    ~33 ms in the Mosaic/XLA mixed-program mode) that swamps millisecond
+    kernels when timed one dispatch per call. Timing a jitted chain of
+    `hi` sequentially-dependent invocations against a chain of `lo` and
+    taking (t_hi - t_lo)/(hi - lo) cancels the dispatch cost exactly and
+    measures the steady-state per-invocation time — which is what the
+    kernel costs inside a real model step, where it is one op among many
+    in a single program."""
+    f_lo, f_hi = make_fn(lo), make_fn(hi)
+    jax.block_until_ready(f_lo())
+    jax.block_until_ready(f_hi())
+    best_lo = best_hi = float("inf")
+    for _ in range(repeats):
+        for f, which in ((f_lo, "lo"), (f_hi, "hi")):
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f())
+                ts.append(time.perf_counter() - t0)
+            m = float(np.median(ts))
+            if which == "lo":
+                best_lo = min(best_lo, m)
+            else:
+                best_hi = min(best_hi, m)
+    return max((best_hi - best_lo) / (hi - lo), 1e-9)
+
+
+def bench_univ():
+    """UNIV-scale (n=600, e≈3600, ~13M assoc edges/pair) single-pair matvec
+    through the blocked-locality Pallas kernel (kernels/assoc_univ.py).
+    Chained-slope timing (see chained_slope_seconds). Runs in its own
+    subprocess stage."""
+    import jax.numpy as jnp
+    from fpmatch_tpu.kernels.assoc_univ import (assoc_matvec_univ,
+                                                gather_ke_blocks, plan_univ)
+
+    pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz = _univ_problem()
     plan = plan_univ(pts1, pts2, s1, d1, s2, d2, transpose=True)
     note(f"univ plan: b1={plan.b1} b2={plan.b2} "
          f"spill={len(plan.spill1)}+{len(plan.spill2)}")
 
     out = {}
     for prec in ("highest", "default"):
-        dt = jnp2.bfloat16 if prec == "default" else jnp2.float32
+        dt = jnp.bfloat16 if prec == "default" else jnp.float32
         KeR = jax.block_until_ready(
             jax.jit(lambda k: gather_ke_blocks(k, plan, dtype=dt))(Ke))
-        f = jax.jit(lambda x, kr: assoc_matvec_univ(x, Kp, Ke, plan, kr,
-                                                    precision=prec))
+
+        def make_chain(steps, prec=prec, KeR=KeR):
+            @jax.jit
+            def chain(x, kr):
+                def body(_, acc):
+                    y = assoc_matvec_univ(acc, Kp, Ke, plan, kr,
+                                          precision=prec)
+                    # renormalize so the chain stays finite; negligible next
+                    # to the 13M-edge contraction and identical across paths
+                    return y / jnp.maximum(jnp.abs(y).max(), 1.0)
+                return jax.lax.fori_loop(0, steps, body, x)
+            return lambda: chain(X, KeR)
+
         try:
-            secs = steady_seconds(f, X, KeR, iters=iters)
+            secs = chained_slope_seconds(make_chain)
             out[f"univ_pallas_{prec}_edges_per_s"] = round(nnz / secs, 0)
-            note(f"univ pallas {prec}: {nnz / secs:.3e} edges/s")
+            note(f"univ pallas {prec}: {nnz / secs:.3e} edges/s "
+                 f"({secs * 1e3:.2f} ms/invocation)")
         except Exception as e:  # noqa: BLE001
             note(f"univ pallas {prec} failed: {type(e).__name__}")
             out[f"univ_pallas_{prec}_edges_per_s"] = None
@@ -191,28 +238,29 @@ def bench_univ(iters=10):
     return out
 
 
-def bench_univ_xla(iters=10):
-    """UNIV-scale XLA fused-einsum baseline (kept in the XLA-family stage —
-    running it after a Mosaic program would hit the process-poison mode)."""
+def bench_univ_xla():
+    """UNIV-scale XLA fused-einsum baseline, same chained-slope protocol as
+    bench_univ (kept in the XLA-family stage — running it after a Mosaic
+    program would hit the process-poison mode)."""
     import jax.numpy as jnp
-    from fpmatch_tpu.core.build_graphs import build_edges
     from fpmatch_tpu.ops.assoc import assoc_matvec_fused
 
-    rng = np.random.default_rng(0)
-    n, c = 600, 16
-    pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
-    pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
-    _, s1, d1 = build_edges(pts1, stg="tri")
-    _, s2, d2 = build_edges(pts2, stg="tri")
-    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
-    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
-    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
-    nnz = len(s1) * len(s2) + n * n
-    g = jax.jit(lambda x: assoc_matvec_fused(x, Kp, Ke, s1, d1, s2, d2,
-                                             transpose=True))
-    dt = steady_seconds(g, X, iters=iters)
-    note(f"univ xla fused: {nnz / dt:.3e} edges/s")
-    return {"univ_xla_fused_edges_per_s": round(nnz / dt, 0)}
+    pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz = _univ_problem()
+
+    def make_chain(steps):
+        @jax.jit
+        def chain(x):
+            def body(_, acc):
+                y = assoc_matvec_fused(acc, Kp, Ke, s1, d1, s2, d2,
+                                       transpose=True)
+                return y / jnp.maximum(jnp.abs(y).max(), 1.0)
+            return jax.lax.fori_loop(0, steps, body, x)
+        return lambda: chain(X)
+
+    secs = chained_slope_seconds(make_chain)
+    note(f"univ xla fused: {nnz / secs:.3e} edges/s "
+         f"({secs * 1e3:.2f} ms/invocation)")
+    return {"univ_xla_fused_edges_per_s": round(nnz / secs, 0)}
 
 
 def run_stage(stage: str) -> dict:

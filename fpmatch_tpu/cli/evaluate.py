@@ -45,6 +45,13 @@ def main(argv=None):
                          "reference-parity classifier probability")
     ap.add_argument("--thread-workers", action="store_true",
                     help="thread loader workers instead of spawn processes")
+    ap.add_argument("--node-taps", default="layer3",
+                    help="backbone node-feature taps, must match the "
+                         "checkpoint (e.g. 'layer2,layer3' for the stride-8 "
+                         "multi-tap config)")
+    ap.add_argument("--cls-k-features", action="store_true",
+                    help="checkpoint was trained with k-statistic features "
+                         "in the match classifier")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -72,6 +79,17 @@ def main(argv=None):
         cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size,
                                       worker_processes=not args.thread_workers,
                                       image_channels=1))
+    taps = tuple(args.node_taps.split(","))
+    if taps != ("layer3",):
+        tap_ch = {"layer1": 64, "layer2": 128, "layer3": 256}
+        feat = sum(tap_ch[t] for t in taps) + 512
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, node_taps=taps),
+            ngm=dataclasses.replace(cfg.ngm, node_feature_dim=feat))
+    if args.cls_k_features:
+        cfg = dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
 
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")

@@ -163,7 +163,7 @@ def gather_ke_blocks(Ke: jnp.ndarray, plan: UnivPlan,
 
 
 def _univ_kernel(*refs, c: int, r1: int, r2: int, b1: int, b2: int,
-                 prec):
+                 prec, fused_ta: bool):
     # refs: 9 X windows (C,R1,R2), KeR tile (B1,B2), d1,s1 (1,B1,1),
     #       d2,s2 (1,B2,1), out (C,R1,R2)
     (x00, x01, x02, x10, x11, x12, x20, x21, x22, ke_ref,
@@ -191,6 +191,21 @@ def _univ_kernel(*refs, c: int, r1: int, r2: int, b1: int, b2: int,
     ke = ke_ref[...]                    # (B1, B2)
 
     rows = ((x00, x01, x02), (x10, x11, x12), (x20, x21, x22))
+    if fused_ta:
+        # the ta contraction carries ~55% of the tile flops — run it for
+        # ALL channels as ONE (C·3R1, 3R2)x(3R2, B2) matmul (better MXU
+        # occupancy, 1 op instead of C), then finish per channel
+        xw_all = jnp.concatenate(
+            [jnp.concatenate([blk[...] for blk in row], axis=2)
+             for row in rows], axis=1)                     # (C, 3R1, 3R2)
+        ta_all = mm(xw_all.reshape(c * 3 * r1, 3 * r2), r2g,
+                    (((1,), (1,)), ((), ())))              # (C·3R1, B2)
+        for ch in range(c):
+            ta = ta_all[ch * 3 * r1:(ch + 1) * 3 * r1]     # (3R1, B2)
+            xe = mm(r1g, ta)                               # (B1, B2)
+            t = mm(ke * xe, s2g)                           # (B1, R2)
+            y_ref[ch] = mm(s1g, t, (((0,), (0,)), ((), ())))
+        return
     for ch in range(c):
         xw = jnp.concatenate(
             [jnp.concatenate([blk[ch] for blk in row], axis=1)
@@ -202,9 +217,10 @@ def _univ_kernel(*refs, c: int, r1: int, r2: int, b1: int, b2: int,
 
 
 @functools.partial(jax.jit, static_argnames=("r1", "r2", "b1", "b2",
-                                             "precision", "interpret"))
+                                             "precision", "interpret",
+                                             "fused_ta"))
 def _univ_pallas(Xp, KeR, d1l, s1l, d2l, s2l, *, r1, r2, b1, b2,
-                 precision="highest", interpret=False):
+                 precision="highest", interpret=False, fused_ta=False):
     """Xp: (C, n1p + 2r1, n2p + 2r2) halo-padded sorted features.
     Returns (C, n1p, n2p)."""
     c = Xp.shape[0]
@@ -223,7 +239,7 @@ def _univ_pallas(Xp, KeR, d1l, s1l, d2l, s2l, *, r1, r2, b1, b2,
     grid = (I, J)
     out = pl.pallas_call(
         functools.partial(_univ_kernel, c=c, r1=r1, r2=r2, b1=b1, b2=b2,
-                          prec=_PRECS[precision]),
+                          prec=_PRECS[precision], fused_ta=fused_ta),
         grid=grid,
         in_specs=x_specs + [
             pl.BlockSpec((b1, b2), lambda i, j: (i, j),
@@ -252,7 +268,8 @@ _PRECS = {"highest": jax.lax.Precision.HIGHEST,
 def assoc_matvec_univ(X, Kp, Ke, plan: UnivPlan,
                       KeR: Optional[jnp.ndarray] = None, *,
                       precision: str = "highest",
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      fused_ta: bool = False) -> jnp.ndarray:
     """Drop-in K·vec(X) / Kᵀ·vec(X) (orientation baked into the plan) for
     UNIV-scale pairs. Same contract as ops.assoc.assoc_matvec.
 
@@ -279,7 +296,8 @@ def assoc_matvec_univ(X, Kp, Ke, plan: UnivPlan,
                       jnp.asarray(plan.d1_loc), jnp.asarray(plan.s1_loc),
                       jnp.asarray(plan.d2_loc), jnp.asarray(plan.s2_loc),
                       r1=plan.r1, r2=plan.r2, b1=plan.b1, b2=plan.b2,
-                      precision=precision, interpret=interpret)
+                      precision=precision, interpret=interpret,
+                      fused_ta=fused_ta)
     Ys = jnp.transpose(Ys, (1, 2, 0))[:n1, :n2]       # sorted (N1, N2, C)
     Y = jnp.zeros_like(X).at[p1[:, None], p2[None, :]].set(Ys)
 

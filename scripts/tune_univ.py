@@ -22,9 +22,10 @@ CONFIGS = [
     (8, 128), (16, 128), (32, 128), (64, 128), (32, 256), (16, 256),
 ]
 PRECS = ["highest", "default"]
+FUSED = [False, True]
 
 
-def run_one(r1: int, r2: int, prec: str) -> dict:
+def run_one(r1: int, r2: int, prec: str, fused_ta: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -49,22 +50,44 @@ def run_one(r1: int, r2: int, prec: str) -> dict:
     KeR = jax.block_until_ready(
         jax.jit(lambda k: gather_ke_blocks(k, plan, dtype=dt))(Ke))
     ker_mb = KeR.size * KeR.dtype.itemsize / 1e6
-    f = jax.jit(lambda x, kr: assoc_matvec_univ(x, Kp, Ke, plan, kr,
-                                                precision=prec))
+    # chained-slope timing (see bench.chained_slope_seconds): the axon
+    # tunnel's per-dispatch cost (up to ~33 ms in mixed Mosaic/XLA mode)
+    # swamps ms-scale kernels; the slope between a 12-chain and a 2-chain
+    # cancels it exactly.
+    def make_chain(steps):
+        @jax.jit
+        def chain(x, kr):
+            def body(_, acc):
+                y = assoc_matvec_univ(acc, Kp, Ke, plan, kr, precision=prec,
+                                      fused_ta=fused_ta)
+                return y / jnp.maximum(jnp.abs(y).max(), 1.0)
+            return jax.lax.fori_loop(0, steps, body, x)
+        return lambda: chain(X, KeR)
+
+    lo_n, hi_n = 2, 12
     try:
-        jax.block_until_ready(f(X, KeR))  # compile
+        f_lo, f_hi = make_chain(lo_n), make_chain(hi_n)
+        jax.block_until_ready(f_lo())
+        jax.block_until_ready(f_hi())
     except Exception as e:  # noqa: BLE001
-        return {"r1": r1, "r2": r2, "prec": prec,
+        return {"r1": r1, "r2": r2, "prec": prec, "fused_ta": fused_ta,
                 "error": f"{type(e).__name__}: {e}"[:300]}
-    best = float("inf")
+    best_lo = best_hi = float("inf")
     for _ in range(3):
-        ts = []
-        for _ in range(8):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(X, KeR))
-            ts.append(time.perf_counter() - t0)
-        best = min(best, float(np.median(ts)))
-    return {"r1": r1, "r2": r2, "prec": prec, "b1": plan.b1, "b2": plan.b2,
+        for which, f in (("lo", f_lo), ("hi", f_hi)):
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f())
+                ts.append(time.perf_counter() - t0)
+            m = float(np.median(ts))
+            if which == "lo":
+                best_lo = min(best_lo, m)
+            else:
+                best_hi = min(best_hi, m)
+    best = max((best_hi - best_lo) / (hi_n - lo_n), 1e-9)
+    return {"r1": r1, "r2": r2, "prec": prec, "fused_ta": fused_ta,
+            "b1": plan.b1, "b2": plan.b2,
             "spill": int(len(plan.spill1) + len(plan.spill2)),
             "ker_mb": round(ker_mb, 1), "ms": round(best * 1e3, 2),
             "edges_per_s": round(nnz / best, 0)}
@@ -72,19 +95,22 @@ def run_one(r1: int, r2: int, prec: str) -> dict:
 
 def main():
     if len(sys.argv) >= 5 and sys.argv[1] == "--one":
+        fused = len(sys.argv) >= 6 and sys.argv[5] == "fused"
         print(json.dumps(run_one(int(sys.argv[2]), int(sys.argv[3]),
-                                 sys.argv[4])))
+                                 sys.argv[4], fused)))
         return
     rows = []
     for r1, r2 in CONFIGS:
         for prec in PRECS:
+          for fused in FUSED:
             proc = subprocess.run(
-                [sys.executable, __file__, "--one", str(r1), str(r2), prec],
+                [sys.executable, __file__, "--one", str(r1), str(r2), prec]
+                + (["fused"] if fused else []),
                 capture_output=True, text=True, timeout=1200)
             line = proc.stdout.strip().splitlines()[-1] \
                 if proc.stdout.strip() else ""
             if proc.returncode != 0 or not line.startswith("{"):
-                print(f"# ({r1},{r2},{prec}) failed rc={proc.returncode}: "
+                print(f"# ({r1},{r2},{prec},{fused}) failed rc={proc.returncode}: "
                       f"{proc.stderr[-200:]}", file=sys.stderr)
                 continue
             row = json.loads(line)

@@ -21,7 +21,8 @@ def _pair(rng, n1, n2):
 
 
 @pytest.mark.parametrize("transpose", [False, True])
-def test_univ_blocked_matches_xla(rng, transpose):
+@pytest.mark.parametrize("fused_ta", [False, True])
+def test_univ_blocked_matches_xla(rng, transpose, fused_ta):
     n1, n2, c = 150, 140, 3
     p1, p2, s1, d1, s2, d2 = _pair(rng, n1, n2)
     X = jnp.asarray(rng.normal(size=(n1, n2, c)).astype(np.float32))
@@ -32,7 +33,8 @@ def test_univ_blocked_matches_xla(rng, transpose):
 
     plan = plan_univ(p1, p2, s1, d1, s2, d2, r1=16, r2=128,
                      transpose=transpose)
-    got = assoc_matvec_univ(X, Kp, Ke, plan, interpret=True)
+    got = assoc_matvec_univ(X, Kp, Ke, plan, interpret=True,
+                            fused_ta=fused_ta)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
