@@ -51,6 +51,9 @@ def _run_two_process(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    # the workers run with tmp_path scripts, so the repo root must be
+    # importable explicitly (works with or without an editable install)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(2):
         env = dict(
@@ -58,6 +61,8 @@ def _run_two_process(tmp_path):
             COORDINATOR_ADDRESS=addr,
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
+            PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH",
+                                                               ""),
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
         )
         procs.append(subprocess.Popen(
