@@ -295,7 +295,14 @@ def run_stage(stage: str) -> dict:
     if stage == "model":
         import dataclasses
         model = NGMNet(cfg)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        # init on host CPU: Flax init executes eagerly op-by-op, and on the
+        # tunnel-attached TPU that is minutes of per-dispatch latency (seen
+        # 2026-08-18: >9 min); CPU init + one device_put is seconds.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jax.device_put(batch, cpu), train=False)
+        variables = jax.device_put(variables, jax.devices()[0])
         pairs_per_s, _ = bench_forward(cfg, model, variables, batch)
         note(f"forward: {pairs_per_s:.1f}")
         train_pairs_per_s = bench_train_step(cfg, model, variables, batch)

@@ -151,8 +151,14 @@ def main(argv=None):
     model = NGMNet(cfg)
     example = next(iter(loaders["val"]))
     log("initializing model…")
-    variables = model.init(jax.random.PRNGKey(args.seed), example,
-                           train=False)
+    # Flax init executes eagerly op-by-op; on the tunnel-attached TPU each
+    # dispatch costs milliseconds, turning init into many minutes. Initialize
+    # on host CPU (seconds) and ship the finished pytree in one transfer.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(args.seed),
+                               jax.device_put(example, cpu), train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "
