@@ -48,12 +48,44 @@ def steady_seconds(fn, *args, iters=20, repeats=3):
 
 REF_PAIRS_PER_S_ESTIMATE = 10.0
 TARGET_MULTIPLier = 2.0
+DISPATCH_HEALTHY_MS = 5.0
 
 
-def bench_forward(cfg, model, variables, batch, iters=20):
-    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    dt = steady_seconds(fwd, variables, batch, iters=iters)
-    return batch.batch_size / dt, fwd(variables, batch)
+def dispatch_ms():
+    """Median dispatch latency of a trivial jitted op. The axon tunnel has a
+    degraded ~33 ms/dispatch mode (chip/tunnel state, not workload); stages
+    report this so main() can retry a capture taken in the bad mode."""
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def bench_forward(cfg, model, variables, batch):
+    """Chained-slope timing of the full forward: a fori_loop of `steps`
+    forwards (sequentialized by the loop-carried accumulator) cancels the
+    tunnel's state-dependent per-dispatch cost — the round-2 driver capture
+    recorded 187.9 pairs/s when a ~33 ms/dispatch mode hit one-call-per-
+    dispatch timing, vs 11,155 in clean captures."""
+    import jax.numpy as jnp
+
+    def make_chain(steps):
+        @jax.jit
+        def chain(v):
+            def body(_, acc):
+                out = model.apply(v, batch, train=False)
+                return acc + out["cls_prob"].sum()
+            return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
+        return lambda: chain(variables)
+
+    secs = chained_slope_seconds(make_chain, lo=1, hi=5, repeats=2)
+    return batch.batch_size / secs
 
 
 def bench_spmm(cfg, batch, iters=50):
@@ -89,22 +121,32 @@ def bench_spmm(cfg, batch, iters=50):
     return nnz / dt
 
 
-def bench_train_step(cfg, model, variables, batch, iters=10):
+def bench_train_step(cfg, model, variables, batch):
+    """Chained-slope timing of the train step. The raw (un-donated) step is
+    embedded in a fori_loop that threads the TrainState, so (a) the loop is
+    donation-safe — the round-2 model stage crashed because the jitted step
+    donates its input state and steady_seconds re-called it with the same
+    (deleted) buffers — and (b) per-dispatch tunnel cost cancels in the
+    slope, like the kernel benches."""
     from fpmatch_tpu.core.config import default_stages
     from fpmatch_tpu.train.state import create_state
     from fpmatch_tpu.train.step import make_train_step
 
     stage = default_stages()[2]  # all partitions training
     state = create_state(variables, stage)
-    step = make_train_step(model, stage)
-    state, _ = jax.block_until_ready(step(state, batch))  # compile
+    raw_step = make_train_step(model, stage, jit=False)
 
-    def run(s, b):
-        ns, m = step(s, b)
-        return m
+    def make_chain(steps):
+        @jax.jit
+        def chain(s):
+            def body(_, carry):
+                ns, _ = raw_step(carry, batch)
+                return ns
+            return jax.lax.fori_loop(0, steps, body, s)
+        return lambda: chain(state)
 
-    dt = steady_seconds(run, state, batch, iters=iters)
-    return batch.batch_size / dt
+    secs = chained_slope_seconds(make_chain, lo=1, hi=4, repeats=2)
+    return batch.batch_size / secs
 
 
 def bench_pallas_spmm(cfg, batch, iters=50, precision="highest"):
@@ -281,17 +323,21 @@ def run_stage(stage: str) -> dict:
     cfg = Config()
     batch = synthetic_pair_batch(cfg, batch_size=8, genuine_ratio=0.5, seed=0)
 
+    health = {"dispatch_ms": round(dispatch_ms(), 2)}
+    note(f"stage {stage}: dispatch {health['dispatch_ms']} ms")
+
     if stage == "pallas":
         v = bench_pallas_spmm(cfg, batch, precision="highest")
         note(f"pallas f32: {v:.3e}")
-        return {"assoc_spmm_pallas_edges_per_s": round(v, 0) if v else None}
+        return {"assoc_spmm_pallas_edges_per_s": round(v, 0) if v else None,
+                **health}
     if stage == "univ":
-        return bench_univ()
+        return {**bench_univ(), **health}
     if stage == "spmm":
         v = bench_spmm(cfg, batch)
         note(f"xla spmm: {v:.3e}")
         return {"assoc_spmm_edges_per_s": round(v, 0),
-                **bench_univ_xla()}
+                **bench_univ_xla(), **health}
     if stage == "model":
         import dataclasses
         model = NGMNet(cfg)
@@ -315,6 +361,7 @@ def run_stage(stage: str) -> dict:
         train16 = bench_train_step(cfg16, model16, variables, batch)
         note(f"train bf16 backbone: {train16:.1f}")
         return {
+            **health,
             "train_step_bf16_backbone_pairs_per_s": round(train16, 2),
             "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
             "value": round(pairs_per_s, 2),
@@ -336,16 +383,30 @@ def main():
     # model last so its headline fields come from the freshest chip state;
     # each stage is a fresh process (see run_stage docstring)
     for stage in ("pallas", "univ", "spmm", "model"):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--stage", stage],
-            capture_output=True, text=True, timeout=1800)
-        sys.stderr.write(proc.stderr)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
-            else ""
-        if proc.returncode != 0 or not line.startswith("{"):
-            note(f"stage {stage} failed (rc={proc.returncode})")
+        fields = None
+        for attempt in range(3):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--stage", stage],
+                capture_output=True, text=True, timeout=1800)
+            sys.stderr.write(proc.stderr)
+            line = proc.stdout.strip().splitlines()[-1] \
+                if proc.stdout.strip() else ""
+            if proc.returncode != 0 or not line.startswith("{"):
+                note(f"stage {stage} attempt {attempt} failed "
+                     f"(rc={proc.returncode})")
+                continue
+            fields = json.loads(line)
+            dms = fields.get("dispatch_ms")
+            if dms is not None and dms > DISPATCH_HEALTHY_MS:
+                note(f"stage {stage} attempt {attempt}: degraded dispatch "
+                     f"({dms} ms > {DISPATCH_HEALTHY_MS}) — retrying")
+                continue
+            break
+        if fields is None:
+            note(f"stage {stage} failed all attempts")
             continue
-        result.update(json.loads(line))
+        fields[f"dispatch_ms_{stage}"] = fields.pop("dispatch_ms", None)
+        result.update(fields)
     print(json.dumps(result))
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..ops.spline import spline_conv
 from ..ops.assoc import (assoc_aggregate_mean, assoc_tri_degree,
                          assoc_tri_matvec)
-from ..ops.sinkhorn import sinkhorn
+from ..ops.sinkhorn import sinkhorn, sinkhorn_batch
 
 
 class SplineNet(nn.Module):
@@ -121,6 +121,47 @@ class AssocGNNLayer(nn.Module):
             chans = []
             for c in range(self.sk_channel):
                 chans.append(sk_fn(sk_in[..., c], n1, n2))
+            x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
+        return x1 * kp_present[..., None]
+
+
+class AssocGNNLayerBatched(nn.Module):
+    """Batch-first AssocGNNLayer whose sparse aggregation is computed by the
+    CALLER — the edge-sharded multi-chip path feeds the shard_map'd halo
+    matvec from parallel.edge_partition.batched_row_sharded_aggregate here
+    (shard_map cannot sit under nn.vmap, so this variant is not vmapped).
+    The parameter tree is identical to AssocGNNLayer under nn.vmap — child
+    names, Dense shapes — so checkpoints interchange between the single-chip
+    and sharded paths."""
+
+    out_features: int = 16
+    sk_channel: int = 1
+    sk_iter: int = 20
+    sk_tau: float = 0.05
+    remat_sk: bool = True
+
+    @nn.compact
+    def __call__(self, X, agg, kp_present, n1, n2):
+        """X: (B, N1, N2, C_in); agg: (B, N1, N2, C_in) mean-aggregated
+        Kᵀ·vec(X); kp_present: (B, N1, N2); n1, n2: (B,)."""
+        x1 = nn.Dense(self.out_features, name="lin_l")(agg)
+        x1 = x1 + nn.Dense(self.out_features, use_bias=False,
+                           name="lin_r")(X)
+        h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
+        h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
+        x1 = x1 + h
+
+        if self.sk_channel:
+            sk_in = nn.Dense(self.sk_channel, name="classifier")(x1)
+
+            def sk_fn(x, a, b):
+                return sinkhorn_batch(x, a, b, tau=self.sk_tau,
+                                      max_iter=self.sk_iter, dummy_row=True)
+
+            if self.remat_sk:
+                sk_fn = jax.checkpoint(sk_fn)
+            chans = [sk_fn(sk_in[..., c], n1, n2)
+                     for c in range(self.sk_channel)]
             x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
         return x1 * kp_present[..., None]
 

@@ -34,8 +34,8 @@ from ..ops.sinkhorn import sinkhorn_batch
 from ..ops.soft_topk import soft_topk_batch, greedy_perm_batch
 from ..ops.spline import edge_pseudo_coords
 from .backbone import ResNet18Backbone
-from .layers import (AssocGNNLayer, InnerProductAffinity, MatchClassifier,
-                     SplineNet)
+from .layers import (AssocGNNLayer, AssocGNNLayerBatched,
+                     InnerProductAffinity, MatchClassifier, SplineNet)
 from .afau import AFAUEncoder
 
 
@@ -59,6 +59,10 @@ class PairBatch(NamedTuple):
     # precomputed per-keypoint features for the non-image pathway
     # (cfg.backbone.kind == "none"); images are ignored when set
     features: Optional[jnp.ndarray] = None  # (B, 2, N, F) float32
+    # edge-sharded multi-chip path: a parallel.edge_partition.BatchRowPlan
+    # (host-built per batch, static shapes) — when set AND the model carries
+    # a mesh, the assoc-GNN layers run row-sharded with halo all-to-all
+    row_plan: Optional[object] = None
 
     @property
     def batch_size(self):
@@ -77,9 +81,23 @@ def _vmapped(module_cls, n_data_args, **kwargs):
 
 
 class NGMNet(nn.Module):
-    """End-to-end matcher. Call with a PairBatch."""
+    """End-to-end matcher. Call with a PairBatch.
+
+    Multi-chip beyond data parallelism: give the model a `mesh` with an
+    `edge_axis` and set `batch.row_plan` (parallel.edge_partition
+    plan_batch_rows) — the 3 assoc-GNN layers then run row-sharded over the
+    mesh (association features sharded on the graph-1 node axis, one halo
+    all_to_all per layer, X stays sharded across layers); everything outside
+    the assoc loop is GSPMD-partitioned automatically from the shard_map
+    boundary shardings. `batch_axis` names the DP mesh axis for 2-D
+    (dp × edge) meshes. The reference never attempted this
+    (src/parallel/data_parallel.py:6-46 is its entire, commented-out story).
+    """
 
     cfg: Config
+    mesh: Optional[object] = None      # jax.sharding.Mesh (hashable, static)
+    edge_axis: str = "edge"
+    batch_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, batch: PairBatch, train: bool = False,
@@ -227,18 +245,48 @@ class NGMNet(nn.Module):
         emb = Kp[..., None] if cfg.first_order else jnp.ones(
             (B, N, N, 1), Kp.dtype)
         kp_present = vmask.astype(Kp.dtype)
-        for i in range(cfg.gnn_layers):
-            layer = _vmapped(AssocGNNLayer, 12 + len(tri_extra),
-                             out_features=cfg.gnn_feat[i],
-                             sk_channel=cfg.sk_emb,
-                             sk_iter=cfg.sk_layer_iter,
-                             sk_tau=cfg.sk_tau,
-                             hyperedge=cfg.hyperedge,
-                             name=f"gnn_{i}")
-            emb = layer(emb, Kp, Ke, batch.src[:, 0], batch.dst[:, 0],
-                        batch.src[:, 1], batch.dst[:, 1], kp_present,
-                        edge_mask[:, 0], edge_mask[:, 1], n1, n2,
-                        *tri_extra)
+        if batch.row_plan is not None:
+            # ---- edge-sharded multi-chip path -----------------------------
+            if self.mesh is None:
+                raise ValueError("batch.row_plan set but NGMNet has no mesh")
+            if cfg.hyperedge:
+                raise NotImplementedError(
+                    "hyperedge + edge sharding not combined")
+            from ..ops.assoc import assoc_degree
+            from ..parallel.edge_partition import \
+                batched_row_sharded_aggregate
+
+            agg_fn = batched_row_sharded_aggregate(
+                self.mesh, self.edge_axis, self.batch_axis, transpose=True)
+            deg = jax.vmap(
+                lambda kp, e1m, e2m, s1, d1, s2, d2: assoc_degree(
+                    kp, e1m, e2m, s1, d1, s2, d2, N, N, transpose=True))(
+                kp_present, edge_mask[:, 0], edge_mask[:, 1],
+                batch.src[:, 0], batch.dst[:, 0],
+                batch.src[:, 1], batch.dst[:, 1])
+            deg = jnp.maximum(deg, 1.0)[..., None]
+            for i in range(cfg.gnn_layers):
+                agg = agg_fn(emb, Kp, Ke, batch.row_plan,
+                             batch.src[:, 1], batch.dst[:, 1]) / deg
+                layer = AssocGNNLayerBatched(out_features=cfg.gnn_feat[i],
+                                             sk_channel=cfg.sk_emb,
+                                             sk_iter=cfg.sk_layer_iter,
+                                             sk_tau=cfg.sk_tau,
+                                             name=f"gnn_{i}")
+                emb = layer(emb, agg, kp_present, n1, n2)
+        else:
+            for i in range(cfg.gnn_layers):
+                layer = _vmapped(AssocGNNLayer, 12 + len(tri_extra),
+                                 out_features=cfg.gnn_feat[i],
+                                 sk_channel=cfg.sk_emb,
+                                 sk_iter=cfg.sk_layer_iter,
+                                 sk_tau=cfg.sk_tau,
+                                 hyperedge=cfg.hyperedge,
+                                 name=f"gnn_{i}")
+                emb = layer(emb, Kp, Ke, batch.src[:, 0], batch.dst[:, 0],
+                            batch.src[:, 1], batch.dst[:, 1], kp_present,
+                            edge_mask[:, 0], edge_mask[:, 1], n1, n2,
+                            *tri_extra)
 
         # ---- scores + Sinkhorn -------------------------------------------
         s = nn.Dense(1, name="classifier")(emb)[..., 0]     # (B, N, N)

@@ -304,6 +304,143 @@ def halo_fraction(plan: RowShardPlan) -> float:
     return moved / (plan.n_shards * (plan.n_shards - 1) * plan.rows_per)
 
 
+# ---------------------------------------------------------------------------
+# v3: batched row-sharded aggregation for the in-model multi-chip path
+# ---------------------------------------------------------------------------
+#
+# The v2 machinery above is per-pair with per-plan padded shapes — right for
+# the op-level API, wrong inside a jitted batched model (shapes must be
+# static across batches, and shard_map cannot sit under the model's nn.vmap).
+# v3 stacks per-sample RowShardPlans into one BatchRowPlan with STATIC caps
+# (e_cap = E1, s_cap = rows_per — both are true upper bounds), and the
+# aggregate shard_maps once over the mesh with the batch axis inside, so
+# NGMNet's assoc-GNN loop can call it directly. Inside the shard_map the
+# per-sample work is vmapped; the halo all_to_all vectorizes over the batch
+# axis like any named-axis collective.
+
+
+class BatchRowPlan(NamedTuple):
+    """Stacked per-sample row-shard plans, uniform static shapes, jnp arrays.
+    Built host-side per batch by `plan_batch_rows`; shapes depend only on
+    (B, p, rows_per, E1), so jit never retraces across batches."""
+    send_idx: jnp.ndarray     # (B, p, p, s_cap) int32
+    send_mask: jnp.ndarray    # (B, p, p, s_cap) float32
+    loc_gather: jnp.ndarray   # (B, p, e_cap) int32
+    loc_scatter: jnp.ndarray  # (B, p, e_cap) int32
+    loc_ke_row: jnp.ndarray   # (B, p, e_cap) int32 (E1 → appended zero row)
+    halo_gather: jnp.ndarray  # (B, p, e_cap) int32 (slot into recv buffer)
+    halo_scatter: jnp.ndarray  # (B, p, e_cap) int32
+    halo_ke_row: jnp.ndarray  # (B, p, e_cap) int32
+
+
+def plan_batch_rows(n1: int, src1, dst1, n_shards: int,
+                    transpose: bool = True) -> BatchRowPlan:
+    """Build a BatchRowPlan for a padded batch.
+
+    :param n1: padded node count (must be divisible by n_shards)
+    :param src1, dst1: (B, E1) int graph-1 edge endpoints (padded slots may
+        alias node 0 — they carry Ke == 0 in the model, so they contribute
+        nothing; they do occupy local-edge slots on chip 0)
+    """
+    src1 = np.asarray(src1)
+    dst1 = np.asarray(dst1)
+    B, E1 = src1.shape
+    p = n_shards
+    assert n1 % p == 0, f"n1={n1} must be divisible by n_shards={p}"
+    rows_per = n1 // p
+    s_cap, e_cap = rows_per, E1
+
+    f = dict(send_idx=np.zeros((B, p, p, s_cap), np.int32),
+             send_mask=np.zeros((B, p, p, s_cap), np.float32),
+             loc_gather=np.zeros((B, p, e_cap), np.int32),
+             loc_scatter=np.zeros((B, p, e_cap), np.int32),
+             loc_ke_row=np.full((B, p, e_cap), E1, np.int32),
+             halo_gather=np.zeros((B, p, e_cap), np.int32),
+             halo_scatter=np.zeros((B, p, e_cap), np.int32),
+             halo_ke_row=np.full((B, p, e_cap), E1, np.int32))
+    for b in range(B):
+        pl = plan_row_shards(n1, src1[b], dst1[b], p, transpose=transpose)
+        s_b = pl.s_max
+        f["send_idx"][b, :, :, :s_b] = pl.send_idx
+        f["send_mask"][b, :, :, :s_b] = pl.send_mask
+        eL = pl.loc_gather.shape[1]
+        f["loc_gather"][b, :, :eL] = pl.loc_gather
+        f["loc_scatter"][b, :, :eL] = pl.loc_scatter
+        f["loc_ke_row"][b, :, :eL] = pl.loc_ke_row
+        eH = pl.halo_gather.shape[1]
+        # remap recv slots q*s_b + k → q*s_cap + k for the uniform buffer
+        hg = pl.halo_gather
+        f["halo_gather"][b, :, :eH] = (hg // s_b) * s_cap + hg % s_b
+        f["halo_scatter"][b, :, :eH] = pl.halo_scatter
+        f["halo_ke_row"][b, :, :eH] = pl.halo_ke_row
+    return BatchRowPlan(**{k: jnp.asarray(v) for k, v in f.items()})
+
+
+def batched_row_sharded_aggregate(mesh: Mesh, axis: str = "edge",
+                                  batch_axis: Optional[str] = None,
+                                  transpose: bool = True):
+    """Build the in-model sharded Kᵀ·vec(X): X/Kp/output row-sharded on the
+    mesh, one halo all_to_all per call, batch axis vmapped inside (and
+    optionally itself sharded over `batch_axis` for DP×edge 2-D meshes).
+
+    Returned fn(X, Kp, Ke, plan, src2, dst2) → Y, all (B, …)-leading:
+      X (B, N1, N2, C), Kp (B, N1, N2), Ke (B, E1, E2) — Ke padded slots
+      MUST carry 0 — plan a BatchRowPlan for (N1, E1, p), src2/dst2 (B, E2).
+    Mean normalization (degree divide) is the caller's, as in ops.assoc.
+    """
+    p = mesh.shape[axis]
+
+    def _one(X, Kp, KeL, KeH, send_idx, send_mask,
+             loc_g, loc_s, hal_g, hal_s, src2, dst2):
+        """Single sample on one chip. X (rows_per, N2, C)."""
+        rows_per, n2, _ = X.shape
+        s_cap = send_idx.shape[-1]
+        # 1. pack + launch the halo exchange
+        pack = X[send_idx] * send_mask[..., None, None]   # (p, s_cap, N2, C)
+        recv = jax.lax.all_to_all(pack, axis, split_axis=0, concat_axis=0)
+        halo = recv.reshape(p * s_cap, n2, X.shape[-1])
+        # 2. local contraction — independent of `recv`, overlappable
+        y = _edge_contract(X[loc_g], KeL, src2, dst2, loc_s, rows_per, n2)
+        y = y + Kp[..., None] * X
+        # 3. halo contraction once the exchange lands
+        return y + _edge_contract(halo[hal_g], KeH, src2, dst2, hal_s,
+                                  rows_per, n2)
+
+    def _local(X, Kp, KeL, KeH, send_idx, send_mask,
+               loc_g, loc_s, hal_g, hal_s, src2, dst2):
+        # chip axis of the plan operands arrives as a singleton — squeeze
+        return jax.vmap(_one)(X, Kp, KeL[:, 0], KeH[:, 0],
+                              send_idx[:, 0], send_mask[:, 0],
+                              loc_g[:, 0], loc_s[:, 0],
+                              hal_g[:, 0], hal_s[:, 0], src2, dst2)
+
+    bp = batch_axis
+    sharded = P(bp, axis)
+    rep = P(bp)
+
+    def fn(X, Kp, Ke, plan: BatchRowPlan, src2, dst2):
+        if transpose:
+            src2, dst2 = dst2, src2
+        # gather per-chip Ke rows on device (Ke is model-computed); row E1
+        # reads the appended zero row so padded plan slots contribute nothing
+        Kez = jnp.concatenate(
+            [Ke, jnp.zeros((Ke.shape[0], 1, Ke.shape[2]), Ke.dtype)], axis=1)
+        KeL = jax.vmap(lambda kz, idx: kz[idx])(
+            Kez, plan.loc_ke_row)                          # (B, p, e_cap, E2)
+        KeH = jax.vmap(lambda kz, idx: kz[idx])(Kez, plan.halo_ke_row)
+        return jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(sharded, sharded, sharded, sharded,
+                      sharded, sharded, sharded, sharded, sharded, sharded,
+                      rep, rep),
+            out_specs=sharded,
+        )(X, Kp, KeL, KeH, plan.send_idx, plan.send_mask,
+          plan.loc_gather, plan.loc_scatter,
+          plan.halo_gather, plan.halo_scatter, src2, dst2)
+
+    return fn
+
+
 def edge_partition_reference(X, Kp, Ke, src1, dst1, src2, dst2,
                              n_shards: int, transpose=False):
     """Host-loop reference implementation for tests: split E1 into shards,

@@ -55,7 +55,12 @@ def loss_and_metrics(model: NGMNet, params, batch_stats, batch: PairBatch,
     return total, (metrics, new_stats, out)
 
 
-def make_train_step(model: NGMNet, stage: StageConfig):
+def make_train_step(model: NGMNet, stage: StageConfig, jit: bool = True):
+    """Build the train step. jit=True (default) returns it jitted with the
+    input state donated (params + adam moments reuse their buffers in place).
+    jit=False returns the raw traceable function — for embedding in a larger
+    jitted program (e.g. a lax.fori_loop chain of steps, as bench.py does:
+    donation would make repeated timing calls reuse deleted buffers)."""
     tx = make_optimizer(stage)
 
     # the incoming state is donated: params + adam moments (~0.5 GB at 45M
@@ -74,6 +79,8 @@ def make_train_step(model: NGMNet, stage: StageConfig):
         return TrainState(new_params, new_stats, new_opt,
                           state.step + 1), metrics
 
+    if not jit:
+        return _train_step
     train_step = jax.jit(_train_step, donate_argnums=(0,))
     return train_step
 

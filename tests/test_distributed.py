@@ -61,8 +61,9 @@ def _run_two_process(tmp_path):
             COORDINATOR_ADDRESS=addr,
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
-            PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH",
-                                                               ""),
+            PYTHONPATH=os.pathsep.join(
+                [repo_root] + ([os.environ["PYTHONPATH"]]
+                               if os.environ.get("PYTHONPATH") else [])),
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
         )
         procs.append(subprocess.Popen(
