@@ -6,15 +6,20 @@ Prints ONE JSON line:
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 BASELINE.json's target is ">=2x reference matched-pairs/s on one chip".
-Measured anchor (scripts/bench_reference_cpu.py, idle host, 2026-08-18):
-the reference's OWN torch hot ops — Sinkhorn forward_ori 2.2 ms + soft_topk
-13.6 ms + kronecker assembly 3.2 ms ≈ 19 ms/pair — cap it at ~53 pairs/s on
-this host's CPU before counting the CNN, SplineConv, the per-sample Python
-loop over sparse assoc graphs (src/model/ngm.py:326-449), and data loading.
-On its A100 the eager 20-iteration Sinkhorn and the data-dependent soft-topk
-overshoot loop are kernel-launch/sync-bound, not FLOP-bound. We estimate the
-full reference pipeline at ~10 pairs/s end-to-end and report
-vs_baseline = pairs_per_s / (2 * 10.0) so that 1.0 == the 2x target.
+Measurement chain (no invented numbers):
+  1. scripts/bench_reference_full.py runs the reference's FULL `Net.forward`
+     (src/model/ngm.py:204-491, its own code; FLOP-faithful pure-torch
+     stand-ins only for the absent torchvision/torch_geometric/torch_sparse)
+     eager on this host's CPU: **5.13 pairs/s** (batch 8, n=50, inference,
+     median of 5; 2026-08-19).
+  2. We credit the reference a 20x end-to-end A100 speedup over this CPU —
+     generous, because its hot section is an eager per-sample Python loop
+     (per-sample SparseTensor assembly + 3 GNN layers + per-layer Sinkhorn,
+     ngm.py:326-449) plus the data-dependent soft-topk overshoot loop:
+     kernel-launch/sync-bound on GPU, not FLOP-bound. (Per-op floor from
+     scripts/bench_reference_cpu.py agrees: hot ops alone ~19 ms/pair CPU.)
+  → reference ≈ 5.13 × 20 ≈ 100 pairs/s on its own hardware, and
+     vs_baseline = pairs_per_s / (2 * 100.0) so that 1.0 == the 2x target.
 Extra fields beyond the required four give the full picture.
 """
 from __future__ import annotations
@@ -46,7 +51,9 @@ def steady_seconds(fn, *args, iters=20, repeats=3):
         best = min(best, float(np.median(ts)))
     return best
 
-REF_PAIRS_PER_S_ESTIMATE = 10.0
+# measured-CPU (5.13 pairs/s, scripts/bench_reference_full.py) x generous
+# 20x A100 credit — see module docstring for the chain
+REF_PAIRS_PER_S_ESTIMATE = 100.0
 TARGET_MULTIPLier = 2.0
 DISPATCH_HEALTHY_MS = 5.0
 
