@@ -74,3 +74,75 @@ def similarity_heatmap(sim: np.ndarray, n1: int, n2: int,
         plt.close(fig)
         return None
     return fig
+
+
+def draw_graph_structure(points: np.ndarray, src: np.ndarray,
+                         dst: np.ndarray, n: int, n_edges: int,
+                         path: Optional[str] = None, layout: str = "spatial",
+                         node_color: str = "skyblue",
+                         edge_color: str = "gray"):
+    """Draw a fingerprint graph's node/edge structure — parity with the
+    reference's visualize_pyg_data/visualize_pyg_batch
+    (utils/visualize.py:46-135), which render the PyG graphs via networkx.
+
+    Layouts: "spatial" places nodes at their true pore coordinates (the
+    natural choice for fingerprint graphs; the reference's spring layout
+    discards geometry), "spring" reproduces the reference's
+    nx.spring_layout(seed=42) when networkx is available, falling back to
+    spatial otherwise.
+
+    :param points: (N, 2) padded keypoint coordinates
+    :param src, dst: (E,) padded edge endpoints
+    :param n, n_edges: valid counts
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = np.asarray(points[:n], np.float64)
+    s = np.asarray(src[:n_edges])
+    d = np.asarray(dst[:n_edges])
+    pos = pts
+    if layout == "spring":
+        try:
+            import networkx as nx
+
+            G = nx.Graph()
+            G.add_nodes_from(range(n))
+            G.add_edges_from(zip(s.tolist(), d.tolist()))
+            p = nx.spring_layout(G, seed=42)
+            pos = np.asarray([p[i] for i in range(n)])
+        except ImportError:
+            pass
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    segs = np.stack([pos[s], pos[d]], axis=1)
+    from matplotlib.collections import LineCollection
+
+    ax.add_collection(LineCollection(segs, colors=edge_color, alpha=0.7,
+                                     linewidths=0.8))
+    ax.scatter(pos[:, 0], pos[:, 1], s=50, c=node_color, alpha=0.7,
+               zorder=2)
+    ax.set_title("Graph Visualization")
+    ax.set_aspect("equal")
+    ax.invert_yaxis()  # image coordinates
+    ax.axis("off")
+    if path:
+        fig.savefig(path, bbox_inches="tight", pad_inches=0, dpi=120)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def draw_graph_batch(points: np.ndarray, src: np.ndarray, dst: np.ndarray,
+                     ns: np.ndarray, n_edges: np.ndarray, prefix: str,
+                     layout: str = "spatial"):
+    """Per-sample graph drawings for a padded batch (reference
+    visualize_pyg_batch semantics: one PNG per graph)."""
+    paths = []
+    for i in range(len(ns)):
+        p = f"{prefix}_{i}.png"
+        draw_graph_structure(points[i], src[i], dst[i], int(ns[i]),
+                             int(n_edges[i]), path=p, layout=layout)
+        paths.append(p)
+    return paths
