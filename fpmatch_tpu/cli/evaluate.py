@@ -100,7 +100,17 @@ def main(argv=None):
 
     model = NGMNet(cfg)
     example = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    log("initializing model…")
+    # init on host CPU: eager Flax init over the TPU tunnel costs minutes of
+    # per-dispatch latency (RESULTS.md "eager Flax init"; same fix as
+    # cli/train.py) — the finished pytree ships in one transfer
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jax.device_put(example, cpu), train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+    from ..utils.profiling import warn_if_degraded_dispatch
+    warn_if_degraded_dispatch(log)
 
     stage = default_stages()[-1]
     state = create_state(variables, stage)

@@ -163,6 +163,8 @@ def main(argv=None):
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "
         f"devices={jax.devices()}")
+    from ..utils.profiling import warn_if_degraded_dispatch
+    warn_if_degraded_dispatch(log)
 
     if args.init_from:
         from ..train.checkpoints import restore_loose, warm_start

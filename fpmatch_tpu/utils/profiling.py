@@ -71,3 +71,42 @@ def assoc_roofline(seconds: float, batch: int, n1: int, n2: int, e1: int,
         lightspeed_edges_per_s=nnz / t_light,
         efficiency=t_light / seconds,
     )
+
+
+def dispatch_health_ms(n: int = 10) -> float:
+    """Median dispatch latency (ms) of a trivial jitted op on the default
+    device. The axon tunnel runtime has a degraded ~33 ms/dispatch mode —
+    triggered by mixing Mosaic (Pallas) and large XLA programs in one
+    process, and occasionally by bad chip/tunnel state (RESULTS.md,
+    "axon process poison"). Healthy is well under 5 ms."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
+def warn_if_degraded_dispatch(log_fn=print, threshold_ms: float = 5.0):
+    """Probe dispatch latency and warn when the process is in the degraded
+    mode — long-running drivers (cli.train / cli.evaluate) call this up
+    front so a poisoned process is visible immediately instead of as a
+    silently 10-100x slower run."""
+    ms = dispatch_health_ms()
+    if ms > threshold_ms:
+        log_fn(f"WARNING: degraded device dispatch ({ms:.1f} ms/op > "
+               f"{threshold_ms} ms) — tunnel/process is in the slow "
+               "synchronous mode; restart the process (and avoid mixing "
+               "Pallas and large XLA programs in it). Proceeding anyway.")
+    else:
+        log_fn(f"device dispatch healthy: {ms:.2f} ms/op")
+    return ms
