@@ -288,28 +288,38 @@ def bench_univ():
 
 
 def bench_univ_xla():
-    """UNIV-scale XLA fused-einsum baseline, same chained-slope protocol as
-    bench_univ (kept in the XLA-family stage — running it after a Mosaic
-    program would hit the process-poison mode)."""
+    """UNIV-scale XLA paths, same chained-slope protocol as bench_univ (kept
+    in the XLA-family stage — running after a Mosaic program would hit the
+    process-poison mode): the fused einsum and the chunked gather/scatter
+    (minimal-FLOP, bounded-memory; ops/assoc.assoc_matvec_chunked)."""
+    import functools
+
     import jax.numpy as jnp
-    from fpmatch_tpu.ops.assoc import assoc_matvec_fused
+    from fpmatch_tpu.ops.assoc import assoc_matvec_chunked, assoc_matvec_fused
 
     pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz = _univ_problem()
+    out = {}
 
-    def make_chain(steps):
-        @jax.jit
-        def chain(x):
-            def body(_, acc):
-                y = assoc_matvec_fused(acc, Kp, Ke, s1, d1, s2, d2,
-                                       transpose=True)
-                return y / jnp.maximum(jnp.abs(y).max(), 1.0)
-            return jax.lax.fori_loop(0, steps, body, x)
-        return lambda: chain(X)
+    variants = {"univ_xla_fused_edges_per_s": assoc_matvec_fused}
+    for chunk in (128, 256, 512):
+        variants[f"univ_xla_chunked{chunk}_edges_per_s"] = functools.partial(
+            assoc_matvec_chunked, chunk=chunk)
 
-    secs = chained_slope_seconds(make_chain)
-    note(f"univ xla fused: {nnz / secs:.3e} edges/s "
-         f"({secs * 1e3:.2f} ms/invocation)")
-    return {"univ_xla_fused_edges_per_s": round(nnz / secs, 0)}
+    for name, op in variants.items():
+        def make_chain(steps, op=op):
+            @jax.jit
+            def chain(x):
+                def body(_, acc):
+                    y = op(acc, Kp, Ke, s1, d1, s2, d2, transpose=True)
+                    return y / jnp.maximum(jnp.abs(y).max(), 1.0)
+                return jax.lax.fori_loop(0, steps, body, x)
+            return lambda: chain(X)
+
+        secs = chained_slope_seconds(make_chain)
+        out[name] = round(nnz / secs, 0)
+        note(f"{name}: {nnz / secs:.3e} edges/s "
+             f"({secs * 1e3:.2f} ms/invocation)")
+    return out
 
 
 def run_stage(stage: str) -> dict:

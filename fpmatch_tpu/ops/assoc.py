@@ -95,6 +95,44 @@ def assoc_matvec_fused(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
     return Y + Kp[..., None] * X
 
 
+def assoc_matvec_chunked(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
+                         src1, dst1, src2, dst2,
+                         transpose: bool = False,
+                         chunk: int = 256) -> jnp.ndarray:
+    """K·vec(X) with the E1 axis processed in fixed-size chunks via lax.scan.
+
+    The large-problem sweet spot: keeps the gather/segment-sum formulation's
+    minimal FLOP count (E1·E2·C multiplies — no one-hot matmul inflation,
+    unlike `assoc_matvec_fused`) while bounding the live intermediate to
+    (chunk, E2, C) instead of the full (E1, E2, C) tensor that collapses the
+    plain gather path at UNIV scale (~830 MB at n=600, e≈3600). HBM-roofline
+    cost ≈ 2·E1·N2·C·4 bytes of gather+scatter traffic.
+    """
+    n1, n2, _ = X.shape
+    if transpose:
+        src1, dst1 = dst1, src1
+        src2, dst2 = dst2, src2
+    e1 = Ke.shape[0]
+    n_chunks = -(-e1 // chunk)
+    pad = n_chunks * chunk - e1
+    # padded edge slots carry Ke == 0 (contribute nothing; alias row 0)
+    Kep = jnp.pad(Ke, ((0, pad), (0, 0)))
+    d1 = jnp.pad(jnp.asarray(dst1), (0, pad)).reshape(n_chunks, chunk)
+    s1 = jnp.pad(jnp.asarray(src1), (0, pad)).reshape(n_chunks, chunk)
+    Kec = Kep.reshape(n_chunks, chunk, -1)
+
+    def body(carry, sl):
+        ke, d1c, s1c = sl
+        W = X[d1c][:, dst2] * ke[..., None]              # (chunk, E2, C)
+        T = _segment_sum(jnp.swapaxes(W, 0, 1), src2, n2)  # (N2, chunk, C)
+        Y = _segment_sum(jnp.swapaxes(T, 0, 1), s1c, n1)   # (N1, N2, C)
+        return carry + Y, None
+
+    Y0 = Kp[..., None] * X
+    Y, _ = jax.lax.scan(body, Y0, (Kec, d1, s1))
+    return Y
+
+
 # association-edge count above which the fused-einsum path wins (empirical
 # crossover on v5e; gather/segment-sum is faster below it)
 FUSED_NNZ_THRESHOLD = 1_000_000

@@ -449,3 +449,27 @@ def test_assoc_matvec_fused_matches_gather(rng, transpose):
                              jnp.asarray(dst2), transpose=transpose)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+@pytest.mark.parametrize("chunk", [3, 8, 64])
+def test_assoc_matvec_chunked_matches_gather(rng, transpose, chunk):
+    """Chunked large-problem path: exact vs the one-shot op, including
+    chunk sizes that do / don't divide E1 (zero-padded tail slots)."""
+    from fpmatch_tpu.ops.assoc import assoc_matvec_chunked
+
+    n1, n2, c = 6, 5, 3
+    src1, dst1 = _rand_graph(rng, n1)
+    src2, dst2 = _rand_graph(rng, n2)
+    Kp = rng.normal(size=(n1, n2)).astype(np.float32)
+    Ke = rng.normal(size=(len(src1), len(src2))).astype(np.float32)
+    X = rng.normal(size=(n1, n2, c)).astype(np.float32)
+    want = assoc_matvec(jnp.asarray(X), jnp.asarray(Kp), jnp.asarray(Ke),
+                        src1, dst1, src2, dst2, transpose=transpose)
+    got = assoc_matvec_chunked(jnp.asarray(X), jnp.asarray(Kp),
+                               jnp.asarray(Ke), jnp.asarray(src1),
+                               jnp.asarray(dst1), jnp.asarray(src2),
+                               jnp.asarray(dst2), transpose=transpose,
+                               chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
