@@ -76,6 +76,10 @@ def main():
         if hi == lo + args.sibling_offset and lo >= args.partner_base:
             sib_mask[i] = True
 
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))  # runnable without an editable install
     from fpmatch_tpu.evaluation.metrics import verification_metrics
 
     full = verification_metrics(labels, scores)
