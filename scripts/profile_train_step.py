@@ -1,74 +1,142 @@
-"""Train-step decomposition on the real chip: forward / backward / optimizer
-split plus per-family timings, to locate the fwd-vs-train throughput gap
-(driver r1: forward 11.2k pairs/s vs train 924).
+"""Train-step decomposition on the real chip — locate the forward-vs-train
+throughput gap (round-2 capture: eval forward 11.2k pairs/s vs train 924).
 
-Run chip-free: python scripts/profile_train_step.py
+Protocol: chained-slope timing (bench.chained_slope_seconds) of
+  * eval forward / train forward / forward+backward / full train step
+  * full train step under component ABLATIONS (each re-inits on host CPU):
+      - remat_sinkhorn off        (recompute-vs-store for the Sinkhorn unroll)
+      - sk_iter 20→5              (final Sinkhorn + soft-topk unroll length)
+      - sk_layer_iter 20→5        (per-GNN-layer embedded Sinkhorn)
+      - regression off            (AFA-U k head removed)
+      - backbone bf16             (MXU/HBM savings in the CNN)
+The deltas attribute the gap; RESULTS.md records the table.
+
+Run: python scripts/profile_train_step.py  (TPU; ~8 compiles, several min)
 """
-import time
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def steady(fn, *args, iters=10, repeats=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        best = min(best, float(np.median(ts)))
-    return best
+def _init_cpu(model, batch, seed=0):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jax.device_put(batch, cpu), train=False)
+    return jax.device_put(variables, jax.devices()[0])
+
+
+def time_train_step(cfg, batch, label, results):
+    import bench
+    from fpmatch_tpu.core.config import default_stages
+    from fpmatch_tpu.models.ngm import NGMNet
+    from fpmatch_tpu.train.state import create_state
+    from fpmatch_tpu.train.step import make_train_step
+
+    model = NGMNet(cfg)
+    variables = _init_cpu(model, batch)
+    stage = default_stages()[2]
+    state = create_state(variables, stage)
+    raw_step = make_train_step(model, stage, jit=False)
+
+    def make_chain(steps):
+        @jax.jit
+        def chain(s):
+            def body(_, carry):
+                ns, _ = raw_step(carry, batch)
+                return ns
+            return jax.lax.fori_loop(0, steps, body, s)
+        return lambda: chain(state)
+
+    secs = bench.chained_slope_seconds(make_chain, lo=1, hi=4, repeats=2)
+    pps = batch.batch_size / secs
+    results[label] = round(pps, 1)
+    print(f"# {label:34s}: {secs*1e3:8.2f} ms  {pps:9.1f} pairs/s",
+          flush=True)
+    return model, variables, state
 
 
 def main():
+    sys.path.insert(0, os.getcwd())
+    import bench
     from fpmatch_tpu.core.config import Config, default_stages
     from fpmatch_tpu.data.synthetic import synthetic_pair_batch
-    from fpmatch_tpu.models.ngm import NGMNet
-    from fpmatch_tpu.train.state import create_state
-    from fpmatch_tpu.train.step import loss_and_metrics, make_train_step
+    from fpmatch_tpu.train.step import loss_and_metrics
 
     cfg = Config()
     batch = synthetic_pair_batch(cfg, batch_size=8, genuine_ratio=0.5, seed=0)
-    model = NGMNet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    results = {"dispatch_ms": round(bench.dispatch_ms(), 2)}
+    print(f"# dispatch: {results['dispatch_ms']} ms", flush=True)
+
+    model, variables, state = time_train_step(cfg, batch,
+                                              "full train step", results)
     stage = default_stages()[2]
-    state = create_state(variables, stage)
-    B = int(batch.batch_size)
 
-    fwd = jax.jit(lambda p, b: loss_and_metrics(
-        model, p, state.batch_stats, b, stage, train=True)[0])
-    t = steady(fwd, state.params, batch)
-    print(f"forward(train-mode) : {t*1e3:8.2f} ms  {B/t:9.1f} pairs/s")
+    # forward variants on the same params
+    def chain_of(fn):
+        def make_chain(steps):
+            @jax.jit
+            def chain(v):
+                def body(_, acc):
+                    return acc + fn(v)
+                return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
+            return lambda: chain(state.params)
+        return make_chain
 
-    grad = jax.jit(jax.grad(lambda p, b: loss_and_metrics(
-        model, p, state.batch_stats, b, stage, train=True)[0]))
-    t = steady(grad, state.params, batch)
-    print(f"forward+backward    : {t*1e3:8.2f} ms  {B/t:9.1f} pairs/s")
+    evfwd = lambda p: model.apply(  # noqa: E731
+        {"params": p, "batch_stats": state.batch_stats}, batch,
+        train=False)["cls_prob"].sum()
+    secs = bench.chained_slope_seconds(chain_of(evfwd), lo=1, hi=5, repeats=2)
+    results["forward_eval"] = round(batch.batch_size / secs, 1)
+    print(f"# {'forward (eval mode)':34s}: {secs*1e3:8.2f} ms  "
+          f"{batch.batch_size/secs:9.1f} pairs/s", flush=True)
 
-    step = make_train_step(model, stage)
-    # non-donating copy for repeat timing
-    st = state
-    jax.block_until_ready(step(create_state(variables, stage), batch))
-    ts = []
-    for _ in range(10):
-        st2 = create_state(variables, stage)
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(st2, batch))
-        ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
-    print(f"full train step     : {t*1e3:8.2f} ms  {B/t:9.1f} pairs/s")
+    trfwd = lambda p: loss_and_metrics(  # noqa: E731
+        model, p, state.batch_stats, batch, stage, train=True)[0]
+    secs = bench.chained_slope_seconds(chain_of(trfwd), lo=1, hi=5, repeats=2)
+    results["forward_train"] = round(batch.batch_size / secs, 1)
+    print(f"# {'forward (train mode)':34s}: {secs*1e3:8.2f} ms  "
+          f"{batch.batch_size/secs:9.1f} pairs/s", flush=True)
 
-    # profiler trace for op-level attribution
-    import glob
-    with jax.profiler.trace("/tmp/jax_trace_train"):
-        st3 = create_state(variables, stage)
-        jax.block_until_ready(step(st3, batch))
-    print("trace written to /tmp/jax_trace_train")
+    gradfn = jax.grad(trfwd)
+    gsum = lambda p: sum(jnp.sum(g) for g in  # noqa: E731
+                         jax.tree_util.tree_leaves(gradfn(p)))
+    secs = bench.chained_slope_seconds(chain_of(gsum), lo=1, hi=4, repeats=2)
+    results["forward_backward"] = round(batch.batch_size / secs, 1)
+    print(f"# {'forward+backward':34s}: {secs*1e3:8.2f} ms  "
+          f"{batch.batch_size/secs:9.1f} pairs/s", flush=True)
+
+    # ablations (fresh inits; param trees may differ — that is the point)
+    ab = {
+        "no remat_sinkhorn": dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, remat_sinkhorn=False)),
+        "sk_iter 20->5": dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, sk_iter=5)),
+        "sk_layer_iter ->5": dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, sk_layer_iter=5)),
+        "topk_extra_iter ->2": dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, topk_extra_iter=2)),
+        "no AFA-U (regression off)": dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, regression=False)),
+        "backbone bf16": dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              dtype="bfloat16")),
+    }
+    for label, acfg in ab.items():
+        try:
+            time_train_step(acfg, batch, f"train step [{label}]", results)
+        except Exception as e:  # noqa: BLE001
+            print(f"# train step [{label}] failed: {type(e).__name__}",
+                  flush=True)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
