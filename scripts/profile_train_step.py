@@ -80,14 +80,23 @@ def main():
                                               "full train step", results)
     stage = default_stages()[2]
 
-    # forward variants on the same params
+    # forward variants on the same params. The body must depend on the
+    # carry or XLA hoists the loop-invariant forward out of the fori_loop
+    # and the slope measures an empty loop — fn takes (params, batch) and
+    # the carry perturbs the images by a numerically-nil scaled output.
     def chain_of(fn):
         def make_chain(steps):
             @jax.jit
             def chain(v):
-                def body(_, acc):
-                    return acc + fn(v)
-                return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
+                def body(_, carry):
+                    acc, bias = carry
+                    b = batch._replace(
+                        images=batch.images
+                        + bias.astype(batch.images.dtype))
+                    s = fn(v, b)
+                    return (acc + s, s * 1e-20)
+                z = jnp.zeros(())
+                return jax.lax.fori_loop(0, steps, body, (z, z))[0]
             return lambda: chain(state.params)
         return make_chain
 
