@@ -63,6 +63,9 @@ class NGMConfig:
     global_state_dim: int = 1024       # 2 * 512
     gnn_layers: int = 3
     gnn_feat: Tuple[int, ...] = (16, 16, 16)
+    # SplineConv message-passing layers per graph (reference SConv builds 2,
+    # spline_conv.py:13-21); configurable for ablation/profiling
+    spline_layers: int = 2
     sk_emb: int = 1                    # Sinkhorn embedding channels per layer
     sk_tau: float = 0.01
     sk_iter: int = 10                  # final Sinkhorn iterations

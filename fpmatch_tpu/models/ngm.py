@@ -188,7 +188,7 @@ class NGMNet(nn.Module):
                                                              rescale_max)
                           )(pts, src, dst)
         spline = _vmapped(SplineNet, 6, features=cfg.node_feature_dim,
-                          name="spline")
+                          num_layers=cfg.spline_layers, name="spline")
         x = spline(node_feat, src, dst, pseudo, edge_mask, node_mask)
 
         # ---- edge features + global weights ------------------------------
