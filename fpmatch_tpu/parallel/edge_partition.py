@@ -209,15 +209,66 @@ def plan_row_shards(n1: int, src1, dst1, n_shards: int,
     )
 
 
-def _edge_contract(rows, Ke, src2, dst2, scat1, n_out, n2):
+# one-hot-einsum FLOP volume (E1p·E2·N2 ∝ its MXU FLOPs) above which the
+# chunked gather/scatter form wins. The one-hot form costs ~2·E1p·E2·N2·C
+# FLOPs — N2× the minimal count — but has no scatter along e2; at bucket
+# scale (N2=64, E1p·E2·N2 ≈ 9M) the MXU eats that easily, while at
+# UNIV/bench scale the inflation loses to the minimal-FLOP chunked path by
+# ~7× (local) and turned the p8 halo contraction into 60 CPU-GFLOPs
+# (logs/bench_edge_partition*.log, 2026-08-19). The threshold must weigh
+# N2, not just nnz: a small-nnz halo group over a wide N2 is still huge.
+_ONEHOT_FLOP_THRESHOLD = 64_000_000
+_CHUNK_E1 = 256
+
+
+def _edge_contract(rows, Ke, src2, dst2, scat1, n_out, n2, vary=()):
     """Per-chip partial Y: rows (E1p, N2, C) already gathered on the e1 axis;
     contract the e2 axis (gather dst2 → scale Ke → scatter src2) and
-    segment-sum into n_out output rows."""
+    segment-sum into n_out output rows. Static-shape dispatch between the
+    MXU one-hot form (small) and bounded-memory chunked gather/scatter
+    (large), exactly like ops.assoc.assoc_matvec_auto.
+
+    `vary`: mesh axes this runs manual over (shard_map) — the chunked
+    path's scan carry must be created device-varying over them."""
+    if Ke.shape[0] * Ke.shape[1] * n2 >= _ONEHOT_FLOP_THRESHOLD:
+        return _edge_contract_chunked(rows, Ke, src2, dst2, scat1, n_out, n2,
+                                      vary=vary)
     G2 = jax.nn.one_hot(dst2, n2, dtype=rows.dtype)
     S2 = jax.nn.one_hot(src2, n2, dtype=rows.dtype)
     t = jnp.einsum("enc,fn,ef,fm->emc", rows, G2, Ke, S2,
                    precision=jax.lax.Precision.HIGHEST)
     return jax.ops.segment_sum(t, scat1, num_segments=n_out)
+
+
+def _edge_contract_chunked(rows, Ke, src2, dst2, scat1, n_out, n2,
+                           chunk: int = _CHUNK_E1, vary=()):
+    """Chunked-e1 gather/scatter form of `_edge_contract`: minimal FLOP count
+    (E1p·E2·C) with the live intermediate bounded to (chunk, E2, C) — the
+    per-shard restriction of ops.assoc.assoc_matvec_chunked (rows arrive
+    pre-gathered here). Padded chunk slots carry Ke == 0 and scatter into
+    row 0 with zero weight."""
+    e1p = rows.shape[0]
+    n_chunks = -(-e1p // chunk)
+    pad = n_chunks * chunk - e1p
+    rp = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, chunk, *rows.shape[1:])
+    kep = jnp.pad(Ke, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+    sp = jnp.pad(scat1, (0, pad)).reshape(n_chunks, chunk)
+
+    def body(carry, sl):
+        r, ke, s1c = sl
+        W = r[:, dst2] * ke[..., None]                      # (chunk, E2, C)
+        T = jax.ops.segment_sum(jnp.swapaxes(W, 0, 1), src2,
+                                num_segments=n2)            # (N2, chunk, C)
+        Y = jax.ops.segment_sum(jnp.swapaxes(T, 0, 1), s1c,
+                                num_segments=n_out)         # (n_out, N2, C)
+        return carry + Y, None
+
+    Y0 = jnp.zeros((n_out, n2, rows.shape[-1]), rows.dtype)
+    if vary:  # inside shard_map the carry must match the body's VMA type
+        Y0 = jax.lax.pcast(Y0, tuple(vary), to="varying")
+    Y, _ = jax.lax.scan(body, Y0, (rp, kep, sp))
+    return Y
 
 
 def row_sharded_matvec(mesh: Mesh, plan: RowShardPlan, axis: str = "edge"):
@@ -253,12 +304,12 @@ def row_sharded_matvec(mesh: Mesh, plan: RowShardPlan, axis: str = "edge"):
         # 2. local contraction — no dependency on `recv`, so the TPU
         #    scheduler overlaps it with the exchange
         y = _edge_contract(X_loc[loc_g[q]], KeL_, src2, dst2, loc_s[q],
-                           rows_per, n2)
+                           rows_per, n2, vary=(axis,))
         y = y + Kp_loc[..., None] * X_loc
 
         # 3. halo contraction once the exchange lands
         y = y + _edge_contract(halo[hal_g[q]], KeH_, src2, dst2, hal_s[q],
-                               rows_per, n2)
+                               rows_per, n2, vary=(axis,))
         return y
 
     @jax.jit
@@ -389,6 +440,7 @@ def batched_row_sharded_aggregate(mesh: Mesh, axis: str = "edge",
     Mean normalization (degree divide) is the caller's, as in ops.assoc.
     """
     p = mesh.shape[axis]
+    vary_axes = (axis,) + ((batch_axis,) if batch_axis else ())
 
     def _one(X, Kp, KeL, KeH, send_idx, send_mask,
              loc_g, loc_s, hal_g, hal_s, src2, dst2):
@@ -400,11 +452,12 @@ def batched_row_sharded_aggregate(mesh: Mesh, axis: str = "edge",
         recv = jax.lax.all_to_all(pack, axis, split_axis=0, concat_axis=0)
         halo = recv.reshape(p * s_cap, n2, X.shape[-1])
         # 2. local contraction — independent of `recv`, overlappable
-        y = _edge_contract(X[loc_g], KeL, src2, dst2, loc_s, rows_per, n2)
+        y = _edge_contract(X[loc_g], KeL, src2, dst2, loc_s, rows_per, n2,
+                           vary=vary_axes)
         y = y + Kp[..., None] * X
         # 3. halo contraction once the exchange lands
         return y + _edge_contract(halo[hal_g], KeH, src2, dst2, hal_s,
-                                  rows_per, n2)
+                                  rows_per, n2, vary=vary_axes)
 
     def _local(X, Kp, KeL, KeH, send_idx, send_mask,
                loc_g, loc_s, hal_g, hal_s, src2, dst2):
