@@ -49,6 +49,9 @@ def main(argv=None):
                     help="backbone node-feature taps, must match the "
                          "checkpoint (e.g. 'layer2,layer3' for the stride-8 "
                          "multi-tap config)")
+    ap.add_argument("--hyperedge", action="store_true",
+                    help="enable the third-order (triangle hyperedge) "
+                         "association term (must match training)")
     ap.add_argument("--cls-k-features", action="store_true",
                     help="checkpoint was trained with k-statistic features "
                          "in the match classifier")
@@ -90,6 +93,9 @@ def main(argv=None):
     if args.cls_k_features:
         cfg = dataclasses.replace(
             cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
+    if args.hyperedge:
+        cfg = dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
 
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
@@ -108,7 +114,9 @@ def main(argv=None):
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0),
                                jax.device_put(example, cpu), train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
+    # block: the probe below must not race the 200+ MB async param stream
+    variables = jax.block_until_ready(
+        jax.device_put(variables, jax.devices()[0]))
     from ..utils.profiling import warn_if_degraded_dispatch
     warn_if_degraded_dispatch(log)
 

@@ -82,6 +82,10 @@ def main(argv=None):
                     help="feed [k_prob, matched fraction, mean matched "
                          "similarity] into the match classifier (trains the "
                          "cls*k fusion; new-checkpoint shapes)")
+    ap.add_argument("--hyperedge", action="store_true",
+                    help="enable the third-order (triangle hyperedge) "
+                         "association term — machinery the reference builds "
+                         "but never turns on (its ngm.py:255)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -115,6 +119,9 @@ def main(argv=None):
     if args.cls_k_features:
         cfg = dataclasses.replace(
             cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
+    if args.hyperedge:
+        cfg = dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
     # fingerprint scans are grayscale: ship luma only (3x less H2D)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, image_channels=1))
@@ -126,6 +133,8 @@ def main(argv=None):
         generate_synthetic_dataset(root, fingers_per_split=(6, 3, 2),
                                    n_pores=60, seed=0, size=(320, 280))
         args.data_root = root
+        if args.checkpoint_dir == "checkpoints":  # default → keep smoke out
+            args.checkpoint_dir = root + "-ckpt"
         args.length = 8
         args.epochs = 1
         args.passes = 1
@@ -158,7 +167,9 @@ def main(argv=None):
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(args.seed),
                                jax.device_put(example, cpu), train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
+    # block: the probe below must not race the 200+ MB async param stream
+    variables = jax.block_until_ready(
+        jax.device_put(variables, jax.devices()[0]))
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "

@@ -121,7 +121,11 @@ def hyperedge_angle_attrs(x: jnp.ndarray, tri: jnp.ndarray,
     v12 = b - c
 
     def norm(v):
-        return jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-8)
+        # safe norm: padded triangles alias node 0, so v == 0 exactly —
+        # d‖v‖/dv at 0 is NaN and poisons the whole gradient through the
+        # masked-out slots (0 · NaN = NaN). max() INSIDE the sqrt routes the
+        # gradient to the constant branch at v = 0, keeping it finite.
+        return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12))
 
     cos1 = jnp.sum(v01 * v02, -1) / (norm(v01) * norm(v02))
     cos2 = jnp.sum(-v01 * v12, -1) / (norm(v01) * norm(v12))

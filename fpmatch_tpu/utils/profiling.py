@@ -103,6 +103,13 @@ def warn_if_degraded_dispatch(log_fn=print, threshold_ms: float = 5.0):
     silently 10-100x slower run."""
     ms = dispatch_health_ms()
     if ms > threshold_ms:
+        # in-flight async work (e.g. a large device_put still streaming
+        # through the tunnel) inflates synced probe calls — settle and
+        # re-probe once before crying wolf
+        import time as _time
+        _time.sleep(2.0)
+        ms = min(ms, dispatch_health_ms())
+    if ms > threshold_ms:
         log_fn(f"WARNING: degraded device dispatch ({ms:.1f} ms/op > "
                f"{threshold_ms} ms) — tunnel/process is in the slow "
                "synchronous mode; restart the process (and avoid mixing "

@@ -386,6 +386,18 @@ def test_hungarian(rng):
         np.testing.assert_array_equal(out[b], want)
 
 
+def test_hyperedge_angle_attrs_grad_finite_on_padded(rng):
+    """Padded triangles alias node 0 (zero difference vectors); the norm
+    gradient at 0 must not leak NaN through the masked slots (regression:
+    first hyperedge train step after init went NaN, 2026-08-19)."""
+    from fpmatch_tpu.ops.spline import hyperedge_angle_attrs
+    x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    tri = jnp.asarray(np.array([[0, 1, 2], [0, 0, 0], [0, 0, 0]], np.int32))
+    mask = jnp.asarray(np.array([True, False, False]))
+    g = jax.grad(lambda x: hyperedge_angle_attrs(x, tri, mask).sum())(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_hyperedge_angle_attrs(rng):
     from fpmatch_tpu.ops.spline import hyperedge_angle_attrs
     x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
