@@ -78,3 +78,29 @@ def test_pair_dataset_loads_fixture(tmp_path):
     assert len(sample.images) == 2 and sample.images[0].ndim == 3
     assert len(sample.points[0]) > 0
     assert all(np.isfinite(p).all() for p in sample.points)
+
+
+def test_match_cli_on_fixture(tmp_path, capsys):
+    """cli.match end-to-end from real committed files: two impressions of
+    one finger, random weights (no checkpoint), tiny shapes — asserts the
+    JSON contract, not the (untrained) score."""
+    import json
+
+    from fpmatch_tpu.cli.match import main
+
+    d = FIXTURE / "test"
+    viz = tmp_path / "m.png"
+    rc = main([str(d / "f3_1_1.png"), str(d / "f3_2_1.png"),
+               "--kpts1", str(d / "f3_1_1.tsv"),
+               "--kpts2", str(d / "f3_2_1.tsv"),
+               "--checkpoint-dir", str(tmp_path / "none"),
+               "--n-max", "16", "--e-max", "96", "--univ", "32",
+               "--threshold", "0.5", "--viz", str(viz)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("score", "cls_prob", "k_prob", "n_kpts", "n_matched",
+                "matches", "genuine"):
+        assert key in out
+    assert out["n_kpts"] == [12, 12]
+    assert 0.0 <= out["score"] <= 1.0
+    assert viz.exists()
