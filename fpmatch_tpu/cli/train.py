@@ -153,6 +153,13 @@ def main(argv=None):
             st = dataclasses.replace(st, num_epochs=args.epochs)
         stages.append(st)
 
+    # probe BEFORE any DataLoader exists: the loaders' background
+    # device_put prefetch threads stream H2D batches continuously, which
+    # inflates a synced dispatch probe into a false "degraded mode" alarm
+    # (observed 24-34 ms with prefetch active vs 0.1 ms fresh-process)
+    from ..utils.profiling import warn_if_degraded_dispatch
+    warn_if_degraded_dispatch(log)
+
     loaders = build_loaders(cfg, args.data_root, args.dataset,
                             length=args.length,
                             test_length=args.test_length)
@@ -174,9 +181,6 @@ def main(argv=None):
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "
         f"devices={jax.devices()}")
-    from ..utils.profiling import warn_if_degraded_dispatch
-    warn_if_degraded_dispatch(log)
-
     if args.init_from:
         from ..train.checkpoints import restore_loose, warm_start
         ckpt_dir, _, name = args.init_from.partition(":")
