@@ -76,29 +76,19 @@ def main(argv=None):
     from ..train.state import create_state
     from ..train.step import make_eval_step
 
-    cfg = Config(shapes=ShapeConfig(n_max=args.n_max, e_max=args.e_max,
-                                    univ_size=args.univ))
+    from . import model_config_from_args
+    cfg = model_config_from_args(args)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size,
-                                      worker_processes=not args.thread_workers,
-                                      image_channels=1))
-    taps = tuple(args.node_taps.split(","))
-    if taps != ("layer3",):
-        tap_ch = {"layer1": 64, "layer2": 128, "layer3": 256}
-        feat = sum(tap_ch[t] for t in taps) + 512
-        cfg = dataclasses.replace(
-            cfg,
-            backbone=dataclasses.replace(cfg.backbone, node_taps=taps),
-            ngm=dataclasses.replace(cfg.ngm, node_feature_dim=feat))
-    if args.cls_k_features:
-        cfg = dataclasses.replace(
-            cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
-    if args.hyperedge:
-        cfg = dataclasses.replace(
-            cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
+                                      worker_processes=not args.thread_workers))
 
     # probe BEFORE the DataLoader exists — its background device_put
     # prefetch thread inflates a synced probe into a false degraded alarm
+    # probe BEFORE the DataLoader exists — its background device_put
+    # prefetch thread inflates a synced probe into a false degraded alarm
+    from ..utils.profiling import warn_if_degraded_dispatch
+    warn_if_degraded_dispatch(log)
+
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
     pd = PairDataset(bench, cfg, augment=args.augment)
@@ -116,9 +106,7 @@ def main(argv=None):
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0),
                                jax.device_put(example, cpu), train=False)
-    # block: the probe below must not race the 200+ MB async param stream
-    variables = jax.block_until_ready(
-        jax.device_put(variables, jax.devices()[0]))
+    variables = jax.device_put(variables, jax.devices()[0])
     stage = default_stages()[-1]
     state = create_state(variables, stage)
     meta = read_meta(args.checkpoint_dir)

@@ -31,28 +31,23 @@ def _load_annos(image, kpts_path, prefix, detector, detector_args):
         from pathlib import Path
 
         from ..data.dataset import read_keypoints
-        kp = read_keypoints(Path(kpts_path), prefix)
-        return [[k["labels"], k["x"], k["y"]] for k in kp]
+        from ..data.pipeline import _annos_of
+        return _annos_of(read_keypoints(Path(kpts_path), prefix))
+    gray = image if image.ndim == 2 else \
+        np.asarray(image[..., :3] @ [0.299, 0.587, 0.114], np.float32)
     if detector == "dpf":
         from ..poredet.dpf import detect_pores_lemes
-        gray = image if image.ndim == 2 else \
-            np.asarray(image[..., :3] @ [0.299, 0.587, 0.114], np.float32)
         coords = detect_pores_lemes(gray.astype(np.uint8))
     else:
-        import jax
-
         from ..poredet.architectures import make_architecture
         from ..poredet.inference import detect_pores_in_image
         from ..poredet.train import load_variables
         model = make_architecture(detector_args["arch"])
         variables = load_variables(detector_args["checkpoint"])
-        gray = image if image.ndim == 2 else \
-            np.asarray(image[..., :3] @ [0.299, 0.587, 0.114], np.float32)
         coords, _ = detect_pores_in_image(
             model, variables, gray.astype(np.uint8),
             probability=detector_args["probability"],
             nms_iou=detector_args["nms_iou"])
-        del jax
     return [[f"{prefix}_{i}", float(x), float(y)]
             for i, (x, y) in enumerate(np.asarray(coords))]
 
@@ -93,12 +88,11 @@ def main(argv=None):
     ap.add_argument("--hyperedge", action="store_true")
     args = ap.parse_args(argv)
 
-    import dataclasses
-
     import jax
 
+    from . import model_config_from_args
     from ..core.build_graphs import build_edges, delaunay_triangles
-    from ..core.config import Config, ShapeConfig, default_stages
+    from ..core.config import default_stages
     from ..data.augmentation import standardize
     from ..data.pipeline import PairSample, _load_image, collate
     from ..models.ngm import NGMNet
@@ -106,24 +100,7 @@ def main(argv=None):
     from ..train.state import create_state
     from ..train.step import make_eval_step
 
-    cfg = Config(shapes=ShapeConfig(n_max=args.n_max, e_max=args.e_max,
-                                    univ_size=args.univ))
-    cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, image_channels=1))
-    taps = tuple(args.node_taps.split(","))
-    if taps != ("layer3",):
-        tap_ch = {"layer1": 64, "layer2": 128, "layer3": 256}
-        feat = sum(tap_ch[t] for t in taps) + 512
-        cfg = dataclasses.replace(
-            cfg,
-            backbone=dataclasses.replace(cfg.backbone, node_taps=taps),
-            ngm=dataclasses.replace(cfg.ngm, node_feature_dim=feat))
-    if args.cls_k_features:
-        cfg = dataclasses.replace(
-            cfg, ngm=dataclasses.replace(cfg.ngm, cls_k_features=True))
-    if args.hyperedge:
-        cfg = dataclasses.replace(
-            cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
+    cfg = model_config_from_args(args)
 
     det_args = {"arch": args.detector_arch,
                 "checkpoint": args.detector_checkpoint,
@@ -141,6 +118,12 @@ def main(argv=None):
     i1, a1 = standardize(img1, an1)
     i2, a2 = standardize(img2, an2)
     a1, a2 = a1[:args.n_max], a2[:args.n_max]
+    if not a1 or not a2:
+        # standardize's 240x320 center crop can drop every keypoint
+        print(json.dumps({"error": "no keypoints inside the standardized "
+                                   "240x320 crop",
+                          "n_kpts": [len(a1), len(a2)]}))
+        return 2
     P1 = np.array([[x, y] for _, x, y in a1], np.float32).reshape(-1, 2)
     P2 = np.array([[x, y] for _, x, y in a2], np.float32).reshape(-1, 2)
     _, s1, d1 = build_edges(P1, stg=cfg.data.src_graph_construct)
@@ -204,7 +187,8 @@ def main(argv=None):
                         np.asarray(batch.points[0]),
                         np.asarray(batch.n_nodes[0]),
                         np.asarray(out["perm_mat"])[0],
-                        float(result.get("genuine", -1.0)), score, args.viz)
+                        float(result.get("genuine", -1.0)), score, args.viz,
+                        unknown_label=args.threshold is None)
         result["viz"] = args.viz
     print(json.dumps(result))
     return 0

@@ -101,10 +101,10 @@ def main(argv=None):
     shapes = ShapeConfig(n_max=args.n_max, e_max=args.e_max,
                          univ_size=args.univ)
     cfg = Config(shapes=shapes)
+    from . import TAP_CHANNELS
     taps = tuple(args.node_taps.split(","))
     if taps != ("layer3",):
-        tap_ch = {"layer1": 64, "layer2": 128, "layer3": 256}
-        feat = sum(tap_ch[t] for t in taps) + 512
+        feat = sum(TAP_CHANNELS[t] for t in taps) + 512
         cfg = dataclasses.replace(
             cfg,
             backbone=dataclasses.replace(cfg.backbone, node_taps=taps),
@@ -174,9 +174,7 @@ def main(argv=None):
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(args.seed),
                                jax.device_put(example, cpu), train=False)
-    # block: the probe below must not race the 200+ MB async param stream
-    variables = jax.block_until_ready(
-        jax.device_put(variables, jax.devices()[0]))
+    variables = jax.device_put(variables, jax.devices()[0])
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "

@@ -42,8 +42,9 @@ def spline_basis(u: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     onehot0 = jax.nn.one_hot(k0, kernel_size, dtype=u.dtype)
     onehot1 = jax.nn.one_hot(k0 + 1, kernel_size, dtype=u.dtype)
     per_dim = onehot0 * (1.0 - frac)[..., None] + onehot1 * frac[..., None]
-    # outer product across dims, flattened with dim-0 fastest (torch_spline_conv
-    # flattening: index = Σ_d k_d · kernel_size**d)
+    # outer product across dims, flattened with dim-0 SLOWEST
+    # (index = k_0·kernel_size**(D-1) + … + k_{D-1}); the repo's learned
+    # checkpoints bind this kernel-bank order
     basis = per_dim[:, 0, :]
     for dim in range(1, d):
         basis = (basis[:, :, None] * per_dim[:, dim, None, :]).reshape(e, -1)
@@ -91,8 +92,11 @@ def spline_conv(x: jnp.ndarray, src, dst, edge_attr: jnp.ndarray,
             wa = (1.0 - frac[:, 0]) if a == 0 else frac[:, 0]
             for b in (0, 1):                              # dim-1 taps
                 wb = (1.0 - frac[:, 1]) if b == 0 else frac[:, 1]
-                # torch_spline_conv flattening: cell = Σ_d k_d·kernel_size**d
-                cell = (k0[:, 0] + a) + kernel_size * (k0[:, 1] + b)
+                # cell flattening MUST match spline_basis (dim-0 SLOWEST:
+                # index = k_0·kernel_size + k_1) — checkpoints bind the
+                # kernel-bank order, and the first tap-form cut flipped it
+                # (caught by review: transposed-weight outputs, 2026-08-19)
+                cell = kernel_size * (k0[:, 0] + a) + (k0[:, 1] + b)
                 w_e = wa * wb * edge_mask
                 msg = msg + w_e[:, None] * table[base + cell]
     else:  # general-D fallback: dense basis contraction

@@ -34,7 +34,7 @@ def draw_keypoints(img: np.ndarray, points: np.ndarray, n: int,
 
 def visualize_match(images: np.ndarray, points: np.ndarray, ns: np.ndarray,
                     perm: np.ndarray, label: float, prob: float,
-                    path: str) -> None:
+                    path: str, unknown_label: bool = False) -> None:
     """Side-by-side pair with match lines from the predicted permutation.
 
     :param images: (2, H, W, 3) normalized batch images
@@ -53,7 +53,8 @@ def visualize_match(images: np.ndarray, points: np.ndarray, ns: np.ndarray,
         p2 = points[1][j]
         cv2.line(canvas, (int(p1[0]), int(p1[1])),
                  (int(p2[0]) + off, int(p2[1])), (0, 200, 255), 1)
-    tag = "genuine" if label > 0.5 else "imposter"
+    tag = "score" if unknown_label else \
+        ("genuine" if label > 0.5 else "imposter")
     cv2.putText(canvas, f"{tag}  p={prob:.3f}  matches={len(rows)}",
                 (8, 18), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
     cv2.imwrite(path, cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))

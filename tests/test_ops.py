@@ -370,6 +370,33 @@ def test_spline_conv_shapes_and_masking(rng):
     assert np.all(np.isfinite(out))
 
 
+def test_spline_conv_tap_form_matches_dense_basis(rng):
+    """The 2-D tap-form (4 indexed gathers/edge) must equal the dense
+    spline_basis contraction EXACTLY in kernel-cell order — checkpoints
+    bind the kernel-bank flattening (regression: the first tap-form cut
+    transposed it, applying kernels at flipped pseudo-coords)."""
+    N, E, Cin, Cout, K = 6, 12, 8, 8, 25
+    x = rng.normal(size=(N, Cin)).astype(np.float32)
+    src = rng.integers(0, N, size=E).astype(np.int32)
+    attr = rng.uniform(size=(E, 2)).astype(np.float32)
+    w = rng.normal(size=(K, Cin, Cout)).astype(np.float32) * 0.1
+    emask = (np.arange(E) < E - 2).astype(np.float32)
+    basis = np.asarray(spline_basis(jnp.asarray(attr), 5)) * emask[:, None]
+    want = np.einsum("es,ei,sio->eo", basis, x[src], w)
+
+    # drive the tap path through spline_conv with aggr="add", dst=arange
+    # (one edge per output row) and zero root/bias so out rows == messages
+    dst = np.arange(E, dtype=np.int32) % N
+    out = np.asarray(spline_conv(
+        jnp.asarray(np.zeros((N, Cin), np.float32) + x), jnp.asarray(src),
+        jnp.asarray(dst), jnp.asarray(attr), jnp.asarray(w),
+        jnp.zeros((Cin, Cout)), jnp.zeros(Cout),
+        jnp.asarray(emask), jnp.ones(N), aggr="add"))
+    want_agg = np.zeros((N, Cout), np.float32)
+    np.add.at(want_agg, dst, want)
+    np.testing.assert_allclose(out, want_agg, rtol=2e-4, atol=2e-5)
+
+
 # ---------------------------------------------------------------- hungarian
 
 def test_hungarian(rng):
