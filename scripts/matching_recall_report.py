@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--node-taps", default="layer2,layer3")
     ap.add_argument("--limit", type=int, default=None,
                     help="cap evaluated batches")
+    ap.add_argument("--hyperedge", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +62,9 @@ def main():
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, image_channels=1,
                                       worker_processes=True))
+    if args.hyperedge:
+        cfg = dataclasses.replace(
+            cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
 
     bench = make_benchmark(args.dataset, args.sets, root=args.data_root,
                            task="classify")
