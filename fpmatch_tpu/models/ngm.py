@@ -101,8 +101,18 @@ class NGMNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: PairBatch, train: bool = False,
-                 hungarian_mask: Optional[jnp.ndarray] = None
-                 ) -> Dict[str, jnp.ndarray]:
+                 hungarian_mask: Optional[jnp.ndarray] = None,
+                 bn_main: Optional[bool] = None,
+                 bn_cls: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+        """`bn_main`/`bn_cls` override the BatchNorm mode of the backbone /
+        match-classifier independently of `train`: curriculum stages that
+        freeze a partition (stages 2/4/6) pass False so its BN runs in
+        running-average mode — train-mode BN stats double the forward
+        (8.3 → 16.4 ms measured, logs/iso_train_fwd.log) and drifting
+        stats under frozen convs is useless anyway. Default: follow
+        `train` (reference semantics)."""
+        bn_main = train if bn_main is None else bn_main
+        bn_cls = train if bn_cls is None else bn_cls
         cfg = self.cfg.ngm
         shapes = self.cfg.shapes
         B, two, H, W, _ = batch.images.shape
@@ -126,7 +136,7 @@ class NGMNet(nn.Module):
                 out_dim=cfg.node_feature_dim,
                 global_dim=cfg.global_state_dim // 2,
                 name="backbone")(feats, node_mask.astype(feats.dtype),
-                                 train=train)
+                                 train=bn_main)
         else:
             # ---- backbone over all images at once (MXU batch) ------------
             # compute dtype from config: bfloat16 doubles MXU throughput and
@@ -155,14 +165,14 @@ class NGMNet(nn.Module):
                     stem_channels=self.cfg.backbone.stem_channels,
                     stage_channels=self.cfg.backbone.stage_channels,
                     blocks_per_stage=self.cfg.backbone.blocks_per_stage,
-                    name="backbone")(imgs, train)
+                    name="backbone")(imgs, bn_main)
                 node_maps = list(node_maps)
             elif kind in ("vgg16", "vgg16_bn"):
                 from .vgg import VGG16Backbone
 
                 nodes, edges_map, global_feat = VGG16Backbone(
                     batch_norm=(kind == "vgg16_bn"), dtype=bb_dtype,
-                    name="backbone")(imgs, train=train)
+                    name="backbone")(imgs, train=bn_main)
                 node_maps = [nodes]
             else:
                 raise ValueError(f"unknown backbone kind: {kind!r}")
@@ -341,7 +351,7 @@ class NGMNet(nn.Module):
             extra = None
         cls_logits = MatchClassifier(channels=cfg.match_cls_channels,
                                      name="match_cls")(
-            matched_sim, n1, n2, train=train, extra_features=extra)
+            matched_sim, n1, n2, train=bn_cls, extra_features=extra)
         cls_prob = jax.nn.sigmoid(cls_logits)
 
         # ---- auxiliary losses --------------------------------------------

@@ -23,21 +23,23 @@ CLS_MODULES = ("match_cls",)
 BACKBONE_MODULES = ("backbone",)
 
 
+def partition_of(name: str) -> str:
+    """Partition of a top-level param module name."""
+    if name in K_MODULES:
+        return "k"
+    if name in CLS_MODULES:
+        return "cls"
+    if name in BACKBONE_MODULES:
+        return "backbone"
+    return "main"
+
+
 def param_labels(params) -> Any:
     """Label every leaf by its partition from the top-level module name."""
 
-    def label_tree(name, tree):
-        if name in K_MODULES:
-            lab = "k"
-        elif name in CLS_MODULES:
-            lab = "cls"
-        elif name in BACKBONE_MODULES:
-            lab = "backbone"
-        else:
-            lab = "main"
-        return jax.tree_util.tree_map(lambda _: lab, tree)
-
-    return {name: label_tree(name, sub) for name, sub in params.items()}
+    return {name: jax.tree_util.tree_map(lambda _, n=name: partition_of(n),
+                                         sub)
+            for name, sub in params.items()}
 
 
 class TrainState(NamedTuple):

@@ -25,9 +25,18 @@ def loss_and_metrics(model: NGMNet, params, batch_stats, batch: PairBatch,
                      stage: StageConfig, train: bool):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
+        bn_kw = {}
+        if model.cfg.train.bn_follows_trainability:
+            # frozen partitions keep their BN in running-average mode: no
+            # batch-stat reductions (2x forward, logs/iso_train_fwd.log)
+            # and no stats drift under frozen convs
+            bn_kw = dict(bn_main=stage.train_main, bn_cls=stage.train_cls)
         out, mutated = model.apply(variables, batch, train=True,
-                                   mutable=["batch_stats"])
-        new_stats = mutated["batch_stats"]
+                                   mutable=["batch_stats"], **bn_kw)
+        # eval-mode BN only reads its stats — the mutated collection can be
+        # partial (or empty) when some partitions' BN ran frozen
+        mut = mutated.get("batch_stats", {})
+        new_stats = {**batch_stats, **mut} if mut else batch_stats
     else:
         out = model.apply(variables, batch, train=False)
         new_stats = batch_stats
@@ -66,13 +75,38 @@ def make_train_step(model: NGMNet, stage: StageConfig, jit: bool = True):
     # the incoming state is donated: params + adam moments (~0.5 GB at 45M
     # params) get reused in place instead of re-allocated every step.
     # Callers that retain an old state (best-state tracking) must deep-copy.
+    from .state import partition_of
+
     def _train_step(state: TrainState, batch: PairBatch
                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        grad_fn = jax.value_and_grad(
-            lambda p: loss_and_metrics(model, p, state.batch_stats, batch,
-                                       stage, train=True),
-            has_aux=True)
-        (_, (metrics, new_stats, _)), grads = grad_fn(state.params)
+        # differentiate ONLY the partitions this stage trains: the frozen
+        # partitions' optimizer branch is set_to_zero (their updates are
+        # zeros regardless of grads), so computing their backward — e.g.
+        # the whole ResNet backward in the k-only stages 2/4 — is pure
+        # waste. This also matches torch grad-clip semantics: params with
+        # requires_grad=False contribute nothing to the global clip norm.
+        trainable_part = {"backbone": stage.train_main,
+                          "main": stage.train_main,
+                          "k": stage.train_k,
+                          "cls": stage.train_cls}
+        live = {name: sub for name, sub in state.params.items()
+                if trainable_part[partition_of(name)]}
+        frozen = {name: sub for name, sub in state.params.items()
+                  if name not in live}
+
+        # frozen params enter as a runtime argument, NOT a closure: closed-
+        # over arrays become XLA constants (compile bloat at 45M params and
+        # a measured 1e-4-relative forward drift from constant-folding);
+        # argnums=0 keeps the backward restricted to the live partitions
+        def loss_of(live_params, frozen_params):
+            p = {**live_params, **frozen_params}
+            return loss_and_metrics(model, p, state.batch_stats, batch,
+                                    stage, train=True)
+
+        grad_fn = jax.value_and_grad(loss_of, argnums=0, has_aux=True)
+        (_, (metrics, new_stats, _)), live_grads = grad_fn(live, frozen)
+        grads = {**live_grads,
+                 **jax.tree_util.tree_map(jnp.zeros_like, frozen)}
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)

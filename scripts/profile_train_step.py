@@ -100,24 +100,24 @@ def main():
             return lambda: chain(state.params)
         return make_chain
 
-    evfwd = lambda p: model.apply(  # noqa: E731
-        {"params": p, "batch_stats": state.batch_stats}, batch,
+    evfwd = lambda p, b: model.apply(  # noqa: E731
+        {"params": p, "batch_stats": state.batch_stats}, b,
         train=False)["cls_prob"].sum()
     secs = bench.chained_slope_seconds(chain_of(evfwd), lo=1, hi=5, repeats=2)
     results["forward_eval"] = round(batch.batch_size / secs, 1)
     print(f"# {'forward (eval mode)':34s}: {secs*1e3:8.2f} ms  "
           f"{batch.batch_size/secs:9.1f} pairs/s", flush=True)
 
-    trfwd = lambda p: loss_and_metrics(  # noqa: E731
-        model, p, state.batch_stats, batch, stage, train=True)[0]
+    trfwd = lambda p, b: loss_and_metrics(  # noqa: E731
+        model, p, state.batch_stats, b, stage, train=True)[0]
     secs = bench.chained_slope_seconds(chain_of(trfwd), lo=1, hi=5, repeats=2)
     results["forward_train"] = round(batch.batch_size / secs, 1)
     print(f"# {'forward (train mode)':34s}: {secs*1e3:8.2f} ms  "
           f"{batch.batch_size/secs:9.1f} pairs/s", flush=True)
 
     gradfn = jax.grad(trfwd)
-    gsum = lambda p: sum(jnp.sum(g) for g in  # noqa: E731
-                         jax.tree_util.tree_leaves(gradfn(p)))
+    gsum = lambda p, b: sum(jnp.sum(g) for g in  # noqa: E731
+                            jax.tree_util.tree_leaves(gradfn(p, b)))
     secs = bench.chained_slope_seconds(chain_of(gsum), lo=1, hi=4, repeats=2)
     results["forward_backward"] = round(batch.batch_size / secs, 1)
     print(f"# {'forward+backward':34s}: {secs*1e3:8.2f} ms  "
