@@ -74,10 +74,21 @@ def drain_seconds(step_fn, n=20, repeats=3):
     return best
 
 # measured-CPU (5.13 pairs/s, scripts/bench_reference_full.py) x generous
-# 20x A100 credit — see module docstring for the chain
-REF_PAIRS_PER_S_ESTIMATE = 100.0
-TARGET_MULTIPLier = 2.0
+# 20x A100 credit — see module docstring for the chain. The 20x is the one
+# unmeasured number, so the JSON also carries a 10x/50x sensitivity range
+# (vs_baseline_cred10x / vs_baseline_cred50x).
+REF_CPU_PAIRS_PER_S = 5.13
+A100_CREDIT = 20.0
+REF_PAIRS_PER_S_ESTIMATE = REF_CPU_PAIRS_PER_S * A100_CREDIT  # ≈ 100
+TARGET_MULTIPLIER = 2.0
 DISPATCH_HEALTHY_MS = 5.0
+
+# total wall-clock budget for main(): the driver's capture window killed the
+# round-1..3 benches (BENCH_r03.json rc=124 lost every field). Stages run
+# most-important-first and the cumulative JSON is re-printed after EVERY
+# stage, so a timeout anywhere keeps everything already measured.
+TOTAL_BUDGET_S = 540.0
+MIN_STAGE_S = 60.0
 
 
 def dispatch_ms():
@@ -319,7 +330,10 @@ def bench_univ():
          f"spill={len(plan.spill1)}+{len(plan.spill2)}")
 
     out = {}
-    for prec in ("highest", "default"):
+    # one precision only in the driver path (round-4 budget trim): bf16
+    # "default" is the kernel's best number; the f32 figure is in
+    # logs/bench_tapform.log (0.417G).
+    for prec in ("default",):
         dt = jnp.bfloat16 if prec == "default" else jnp.float32
         KeR = jax.block_until_ready(
             jax.jit(lambda k: gather_ke_blocks(k, plan, dtype=dt))(Ke))
@@ -361,8 +375,11 @@ def bench_univ_xla():
     pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz = _univ_problem()
     out = {}
 
-    variants = {"univ_xla_fused_edges_per_s": assoc_matvec_fused}
-    for chunk in (128, 256, 512):
+    # round-4 budget trim: only the dispatch-default winner (chunked, 256 —
+    # tuned in logs/tune_chunk*.log) runs in the driver path; the fused
+    # einsum and other chunk sizes are in logs/bench_tapform.log.
+    variants = {}
+    for chunk in (256,):
         variants[f"univ_xla_chunked{chunk}_edges_per_s"] = functools.partial(
             assoc_matvec_chunked, chunk=chunk)
 
@@ -417,7 +434,6 @@ def run_stage(stage: str) -> dict:
         return {"assoc_spmm_edges_per_s": round(v, 0),
                 **bench_univ_xla(), **health}
     if stage == "model":
-        import dataclasses
         model = NGMNet(cfg)
         # init on host CPU: Flax init executes eagerly op-by-op, and on the
         # tunnel-attached TPU that is minutes of per-dispatch latency (seen
@@ -431,22 +447,19 @@ def run_stage(stage: str) -> dict:
         note(f"forward: {pairs_per_s:.1f}")
         train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
         note(f"train: {train_pairs_per_s:.1f}")
-        # mixed-precision option: bf16 backbone compute (f32 params/BN),
-        # the flagship config stays f32 — this field shows the headroom
-        cfg16 = dataclasses.replace(
-            cfg, backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"))
-        model16 = NGMNet(cfg16)
-        train16 = bench_train_step(cfg16, model16, variables, batch)
-        note(f"train bf16 backbone: {train16:.1f}")
+        # (the bf16-backbone train variant was dropped from the driver path
+        # in round 4 — it cost ~1 min for a +6% curiosity and the driver
+        # window is the scarce resource; see logs/bench_tapform.log for the
+        # last measurement: 258.6 pairs/s vs 244.9 f32.)
+        denom = TARGET_MULTIPLIER * REF_CPU_PAIRS_PER_S
         return {
             **health,
-            "train_step_bf16_backbone_pairs_per_s": round(train16, 2),
             "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
             "value": round(pairs_per_s, 2),
             "unit": "pairs/s",
-            "vs_baseline": round(
-                pairs_per_s / (TARGET_MULTIPLier * REF_PAIRS_PER_S_ESTIMATE),
-                2),
+            "vs_baseline": round(pairs_per_s / (denom * A100_CREDIT), 2),
+            "vs_baseline_cred10x": round(pairs_per_s / (denom * 10.0), 2),
+            "vs_baseline_cred50x": round(pairs_per_s / (denom * 50.0), 2),
             "train_step_pairs_per_s": round(train_pairs_per_s, 2),
             "batch_size": int(batch.batch_size),
             "device": str(jax.devices()[0]),
@@ -455,17 +468,45 @@ def run_stage(stage: str) -> dict:
 
 
 def main():
+    """Drive the stage subprocesses under a hard wall-clock budget.
+
+    Scoreboard lessons (BENCH_r01-r03 all lost the headline):
+    - The HEADLINE stage runs FIRST (model: pairs/s + vs_baseline), then the
+      stages in decreasing importance. Round 3 ran model last "for freshest
+      chip state" and a degraded-tunnel pallas stage ate the whole window.
+    - The cumulative JSON is printed after EVERY stage (the driver takes the
+      last stdout line), so a timeout anywhere keeps what's measured.
+    - Each subprocess gets only the REMAINING budget; stages are skipped
+      outright once the budget is too thin to finish one.
+    """
     import subprocess
 
+    t_start = time.perf_counter()
     result: dict = {}
-    # model last so its headline fields come from the freshest chip state;
-    # each stage is a fresh process (see run_stage docstring)
-    for stage in ("pallas", "univ", "spmm", "model"):
+    for stage in ("model", "spmm", "pallas", "univ"):
+        elapsed = time.perf_counter() - t_start
+        remaining = TOTAL_BUDGET_S - elapsed
+        if remaining < MIN_STAGE_S:
+            note(f"budget exhausted ({elapsed:.0f}s) — skipping {stage}+")
+            break
         fields = None
-        for attempt in range(3):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--stage", stage],
-                capture_output=True, text=True, timeout=1800)
+        degraded = None
+        for attempt in range(2):
+            elapsed = time.perf_counter() - t_start
+            remaining = TOTAL_BUDGET_S - elapsed
+            if remaining < MIN_STAGE_S:
+                break
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--stage", stage],
+                    capture_output=True, text=True, timeout=remaining)
+            except subprocess.TimeoutExpired as e:
+                sys.stderr.write((e.stderr or b"").decode()
+                                 if isinstance(e.stderr, bytes)
+                                 else (e.stderr or ""))
+                note(f"stage {stage} attempt {attempt} timed out "
+                     f"({remaining:.0f}s budget)")
+                continue
             sys.stderr.write(proc.stderr)
             line = proc.stdout.strip().splitlines()[-1] \
                 if proc.stdout.strip() else ""
@@ -473,19 +514,28 @@ def main():
                 note(f"stage {stage} attempt {attempt} failed "
                      f"(rc={proc.returncode})")
                 continue
-            fields = json.loads(line)
-            dms = fields.get("dispatch_ms")
+            parsed = json.loads(line)
+            dms = parsed.get("dispatch_ms")
             if dms is not None and dms > DISPATCH_HEALTHY_MS:
                 note(f"stage {stage} attempt {attempt}: degraded dispatch "
                      f"({dms} ms > {DISPATCH_HEALTHY_MS}) — retrying")
+                # keep a degraded capture as fallback, flagged as such
+                degraded = parsed
                 continue
+            fields = parsed
             break
+        if fields is None and degraded is not None:
+            degraded[f"degraded_dispatch_{stage}"] = True
+            fields = degraded
         if fields is None:
             note(f"stage {stage} failed all attempts")
-            continue
-        fields[f"dispatch_ms_{stage}"] = fields.pop("dispatch_ms", None)
-        result.update(fields)
-    print(json.dumps(result))
+        else:
+            fields[f"dispatch_ms_{stage}"] = fields.pop("dispatch_ms", None)
+            result.update(fields)
+        # re-print the cumulative record after every stage: the driver takes
+        # the LAST stdout line, so later timeouts can't lose earlier fields
+        print(json.dumps(result), flush=True)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
