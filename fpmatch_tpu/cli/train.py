@@ -17,7 +17,7 @@ import numpy as np
 
 
 def build_loaders(cfg, data_root: str, dataset_name: str, length=None,
-                  test_length=None):
+                  test_length=None, device_put_fn=None, host_batch_hook=None):
     """train: augmented, shuffled; val: deterministic + sample-cached (it is
     re-iterated every epoch); test: a seeded subsample for the periodic
     in-training eval (the full protocol belongs to cli/evaluate.py — at
@@ -37,8 +37,23 @@ def build_loaders(cfg, data_root: str, dataset_name: str, length=None,
             pd.pairs = [pd.pairs[i] for i in sorted(keep)]
         loaders[sets] = DataLoader(pd, cfg, shuffle=(sets == "train"),
                                    drop_last=True, cache=(sets != "train"),
-                                   device_prefetch=True)
+                                   device_prefetch=True,
+                                   device_put_fn=device_put_fn,
+                                   host_batch_hook=host_batch_hook)
     return loaders
+
+
+def parse_mesh_spec(mesh_arg: str, n_devices: int):
+    """'dp' → (n_devices, 1) with 0/1 = single device and -1 = all visible
+    devices; 'DxE' → (D, E) data × edge."""
+    if "x" in mesh_arg:
+        d_data, d_edge = (int(v) for v in mesh_arg.lower().split("x"))
+        return d_data, d_edge
+    if mesh_arg != "dp":
+        raise ValueError(f"--mesh must be 'dp' or 'DxE', got {mesh_arg!r}")
+    if n_devices < 0:
+        return len(jax.devices()), 1
+    return max(n_devices, 1), 1
 
 
 def main(argv=None):
@@ -78,6 +93,15 @@ def main(argv=None):
                          "in-training eval (full protocol: cli/evaluate.py)")
     ap.add_argument("--thread-workers", action="store_true",
                     help="use thread workers instead of worker processes")
+    ap.add_argument("--n-devices", type=int, default=0,
+                    help="train data-parallel over this many devices "
+                         "(0/1 = single device, the default; -1 = all "
+                         "visible devices). Equivalent to --mesh Nx1")
+    ap.add_argument("--mesh", default="dp",
+                    help="mesh spec: 'dp' (1-D data mesh of --n-devices) or "
+                         "'DxE' for hybrid data x edge sharding, e.g. 2x4 — "
+                         "the 3 assoc-GNN layers row-shard over the edge "
+                         "axis (requires n-max divisible by E)")
     ap.add_argument("--cls-k-features", action="store_true",
                     help="feed [k_prob, matched fraction, mean matched "
                          "similarity] into the match classifier (trains the "
@@ -160,11 +184,55 @@ def main(argv=None):
     from ..utils.profiling import warn_if_degraded_dispatch
     warn_if_degraded_dispatch(log)
 
+    # --- device mesh (replaces the reference's commented-out DataParallel,
+    # src/parallel/data_parallel.py:6-18 / train.py:148, with GSPMD:
+    # batch axis sharded over "data", params replicated, XLA inserts the
+    # gradient all-reduce; 'DxE' additionally row-shards the assoc-GNN
+    # layers over "edge" via the v3 halo-exchange path) -------------------
+    d_data, d_edge = parse_mesh_spec(args.mesh, args.n_devices)
+    use_mesh = d_data * d_edge > 1
+    mesh = None
+    device_put_fn = None
+    host_batch_hook = None
+    if use_mesh:
+        from ..parallel.distributed import make_hybrid_mesh
+        from ..parallel.edge_partition import plan_batch_rows
+        from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+        n_dev = d_data * d_edge
+        avail = len(jax.devices())
+        if n_dev > avail:
+            raise SystemExit(f"--mesh {d_data}x{d_edge} needs {n_dev} "
+                             f"devices, only {avail} visible")
+        if cfg.data.batch_size % d_data:
+            raise SystemExit(f"batch size {cfg.data.batch_size} not "
+                             f"divisible by data axis {d_data}")
+        if d_edge > 1:
+            if cfg.shapes.n_max % d_edge:
+                raise SystemExit(f"--n-max {cfg.shapes.n_max} not divisible "
+                                 f"by edge axis {d_edge}")
+            mesh = make_hybrid_mesh(d_data, d_edge)
+
+            def host_batch_hook(b, _d=d_edge, _n=cfg.shapes.n_max):
+                plan = plan_batch_rows(_n, np.asarray(b.src[:, 0]),
+                                       np.asarray(b.dst[:, 0]), _d,
+                                       transpose=True)
+                return b._replace(row_plan=plan)
+        else:
+            mesh = make_mesh(d_data)
+        device_put_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
+        log(f"mesh: data={d_data} x edge={d_edge} over "
+            f"{[str(d) for d in mesh.devices.flat]}")
+
     loaders = build_loaders(cfg, args.data_root, args.dataset,
                             length=args.length,
-                            test_length=args.test_length)
+                            test_length=args.test_length,
+                            device_put_fn=device_put_fn,
+                            host_batch_hook=host_batch_hook)
 
-    model = NGMNet(cfg)
+    if mesh is not None and d_edge > 1:
+        model = NGMNet(cfg, mesh=mesh, edge_axis="edge", batch_axis="data")
+    else:
+        model = NGMNet(cfg)
     example = next(iter(loaders["val"]))
     log("initializing model…")
     # Flax init executes eagerly op-by-op; on the tunnel-attached TPU each
@@ -172,9 +240,19 @@ def main(argv=None):
     # on host CPU (seconds) and ship the finished pytree in one transfer.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        variables = model.init(jax.random.PRNGKey(args.seed),
-                               jax.device_put(example, cpu), train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
+        # init path: single-device model (params are identical — the edge-
+        # sharded aggregation is an implementation detail, not a parameter
+        # change), so strip any row_plan the loader hook attached
+        init_example = example._replace(row_plan=None)
+        init_example = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, init_example), cpu)
+        init_model = NGMNet(cfg)
+        variables = init_model.init(jax.random.PRNGKey(args.seed),
+                                    init_example, train=False)
+    if mesh is not None:
+        variables = replicate_state(variables, mesh)
+    else:
+        variables = jax.device_put(variables, jax.devices()[0])
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables["params"]))
     log(f"model ready: {n_params / 1e6:.1f}M params, "

@@ -276,9 +276,19 @@ class DataLoader:
                  batch_size: Optional[int] = None, shuffle: bool = False,
                  num_workers: Optional[int] = None, drop_last: bool = True,
                  use_processes: Optional[bool] = None, cache: bool = False,
-                 device_prefetch: bool = False):
+                 device_prefetch: bool = False, device_put_fn=None,
+                 host_batch_hook=None):
         self.dataset = dataset
         self.cfg = cfg
+        # device_put_fn: how batches reach the device(s). Default is plain
+        # jax.device_put (single chip); multi-device trainers pass
+        # parallel.mesh.shard_batch so the batch axis lands sharded over the
+        # mesh and GSPMD never re-lays it out.
+        # host_batch_hook: host-side batch decoration before transfer — the
+        # edge-sharded path attaches a BatchRowPlan here (plan construction
+        # is numpy and belongs on the host, not in the jitted step).
+        self.device_put_fn = device_put_fn
+        self.host_batch_hook = host_batch_hook
         self.batch_size = batch_size or cfg.data.batch_size
         self.shuffle = shuffle
         self.num_workers = (cfg.data.num_workers if num_workers is None
@@ -309,16 +319,22 @@ class DataLoader:
         if self._dev_cached is not None:
             yield from self._dev_cached
             return
+        hooked_iter = self._host_iter()
+        if self.host_batch_hook is not None:
+            hooked_iter = map(self.host_batch_hook, hooked_iter)
         if not self.device_prefetch:
-            yield from self._host_iter()
+            if self.device_put_fn is not None:
+                hooked_iter = map(self.device_put_fn, hooked_iter)
+            yield from hooked_iter
             return
         import jax
 
+        put = self.device_put_fn or jax.device_put
         keep = [] if self.cache else None
         fut = None
         pool = self._h2d_pool()
-        for host_batch in self._host_iter():
-            nxt = pool.submit(jax.device_put, host_batch)
+        for host_batch in hooked_iter:
+            nxt = pool.submit(put, host_batch)
             if fut is not None:
                 b = fut.result()
                 if keep is not None:

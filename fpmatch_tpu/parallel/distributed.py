@@ -42,7 +42,16 @@ def make_hybrid_mesh(data: int, edge: int = 1) -> Mesh:
     is ICI-contiguous."""
     from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_device_mesh((data, edge))
+    n = data * edge
+    avail = jax.devices()
+    if n == len(avail):
+        devices = mesh_utils.create_device_mesh((data, edge))
+    else:
+        # a strict subset of the devices (e.g. --mesh 2x2 on an 8-device
+        # host): create_device_mesh insists on covering every device, so
+        # lay the subset out directly — contiguous ids keep the edge axis
+        # ICI-adjacent on real hardware
+        devices = np.asarray(avail[:n]).reshape(data, edge)
     return Mesh(devices, ("data", "edge"))
 
 

@@ -382,6 +382,13 @@ class BatchRowPlan(NamedTuple):
     halo_gather: jnp.ndarray  # (B, p, e_cap) int32 (slot into recv buffer)
     halo_scatter: jnp.ndarray  # (B, p, e_cap) int32
     halo_ke_row: jnp.ndarray  # (B, p, e_cap) int32
+    # orientation guard: shape (1,) iff the plan was built with
+    # transpose=True, else (0,). Shape-encoded (not a bool leaf) so the
+    # check in batched_row_sharded_aggregate works under jit, where the
+    # plan's array leaves are tracers whose VALUES are unreadable but whose
+    # SHAPES are static. A transpose=False plan silently computes K·x where
+    # the model needs Kᵀ·x — this makes the mismatch loud.
+    transpose_tag: jnp.ndarray
 
 
 def plan_batch_rows(n1: int, src1, dst1, n_shards: int,
@@ -424,7 +431,9 @@ def plan_batch_rows(n1: int, src1, dst1, n_shards: int,
         f["halo_gather"][b, :, :eH] = (hg // s_b) * s_cap + hg % s_b
         f["halo_scatter"][b, :, :eH] = pl.halo_scatter
         f["halo_ke_row"][b, :, :eH] = pl.halo_ke_row
-    return BatchRowPlan(**{k: jnp.asarray(v) for k, v in f.items()})
+    return BatchRowPlan(
+        transpose_tag=jnp.zeros((1,) if transpose else (0,), jnp.int32),
+        **{k: jnp.asarray(v) for k, v in f.items()})
 
 
 def batched_row_sharded_aggregate(mesh: Mesh, axis: str = "edge",
@@ -472,6 +481,12 @@ def batched_row_sharded_aggregate(mesh: Mesh, axis: str = "edge",
     rep = P(bp)
 
     def fn(X, Kp, Ke, plan: BatchRowPlan, src2, dst2):
+        plan_transpose = plan.transpose_tag.shape[0] == 1
+        if plan_transpose != transpose:
+            raise ValueError(
+                f"BatchRowPlan was built with transpose={plan_transpose} but "
+                f"this aggregate computes transpose={transpose} — the plan "
+                "would silently route the wrong K orientation")
         if transpose:
             src2, dst2 = dst2, src2
         # gather per-chip Ke rows on device (Ke is model-computed); row E1

@@ -36,9 +36,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host PairBatch with its batch axis over the mesh."""
+    """Device-put a host PairBatch with its batch axis over the mesh.
+
+    Leaves whose leading axis cannot split over the data axis (e.g. the
+    BatchRowPlan transpose tag, shape (1,)/(0,)) are replicated instead.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    n = mesh.shape["data"] if "data" in mesh.shape else mesh.size
+
+    def put(x):
+        import numpy as _np
+        shape = getattr(x, "shape", None)
+        divisible = (shape is not None and len(shape) >= 1
+                     and shape[0] % n == 0 and shape[0] > 0)
+        return jax.device_put(_np.asarray(x) if shape is None else x,
+                              sh if divisible else rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(state, mesh: Mesh):

@@ -9,6 +9,7 @@ are possible.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -115,13 +116,26 @@ def make_train_step(model: NGMNet, stage: StageConfig, jit: bool = True):
 
     if not jit:
         return _train_step
-    train_step = jax.jit(_train_step, donate_argnums=(0,))
+    train_step = jax.jit(_train_step, donate_argnums=(0,), **_jit_kwargs())
     return train_step
+
+
+def _jit_kwargs():
+    """XLA-CPU's concurrency-optimized thunk scheduler can deadlock the
+    in-process collectives used by CPU-mesh training/tests (threads block in
+    one rendezvous while the peers that would complete it are never
+    scheduled; the 40 s watchdog then aborts the process — see
+    __graft_entry__.dryrun_multichip for the full account). Sequential
+    scheduling removes the hazard. TPU/real meshes are unaffected."""
+    if jax.default_backend() == "cpu":
+        return {"compiler_options": {
+            "xla_cpu_enable_concurrency_optimized_scheduler": False}}
+    return {}
 
 
 def make_eval_step(model: NGMNet, stage: StageConfig):
 
-    @jax.jit
+    @partial(jax.jit, **_jit_kwargs())
     def eval_step(state: TrainState, batch: PairBatch):
         _, (metrics, _, out) = loss_and_metrics(
             model, state.params, state.batch_stats, batch, stage, train=False)
