@@ -84,8 +84,6 @@ def main(argv=None):
 
     # probe BEFORE the DataLoader exists — its background device_put
     # prefetch thread inflates a synced probe into a false degraded alarm
-    # probe BEFORE the DataLoader exists — its background device_put
-    # prefetch thread inflates a synced probe into a false degraded alarm
     from ..utils.profiling import warn_if_degraded_dispatch
     warn_if_degraded_dispatch(log)
 

@@ -139,7 +139,7 @@ def assoc_matvec_chunked(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
 # 2.45 G edges/s vs fused einsum 1.05 G vs Pallas kernel v2 0.54 G
 # (BENCH_r03 capture 2026-08-19) — the chunked gather/scatter is the
 # large-problem dispatch winner.
-FUSED_NNZ_THRESHOLD = 1_000_000
+CHUNKED_NNZ_THRESHOLD = 1_000_000
 CHUNK_E1 = 256
 
 
@@ -147,7 +147,7 @@ def assoc_matvec_auto(X, Kp, Ke, src1, dst1, src2, dst2,
                       transpose: bool = False):
     """Static-shape dispatch between the one-shot gather path (bucket-scale)
     and the chunked bounded-memory path (UNIV-scale)."""
-    if Ke.shape[0] * Ke.shape[1] >= FUSED_NNZ_THRESHOLD:
+    if Ke.shape[0] * Ke.shape[1] >= CHUNKED_NNZ_THRESHOLD:
         return assoc_matvec_chunked(X, Kp, Ke, src1, dst1, src2, dst2,
                                     transpose=transpose, chunk=CHUNK_E1)
     return assoc_matvec(X, Kp, Ke, src1, dst1, src2, dst2,
