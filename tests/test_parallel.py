@@ -217,6 +217,47 @@ def test_batched_row_aggregate_matches_vmapped_op(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_univ_scale_batched_row_aggregate_matches_single_device(rng):
+    """Flagship UNIV scale through the v3 in-model path: one n=600 Delaunay
+    pair (e1=e2≈3600, ~13M association edges) row-sharded over the 8-device
+    mesh vs the single-chip auto-dispatch op. Exercises the spill/halo/plan
+    behavior at the size the kernel design is for — not the n=16 toy."""
+    from fpmatch_tpu.core.build_graphs import build_edges
+    from fpmatch_tpu.ops.assoc import assoc_matvec_auto
+    from fpmatch_tpu.parallel.edge_partition import (
+        batched_row_sharded_aggregate, halo_fraction, make_edge_mesh,
+        plan_batch_rows, plan_row_shards)
+
+    n, c = 600, 4
+    pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    pts1 = pts1[np.argsort(pts1[:, 0])]       # spatially-coherent row order
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    _, s1, d1 = build_edges(pts1, stg="tri")
+    _, s2, d2 = build_edges(pts2, stg="tri")
+    e1, e2 = len(s1), len(s2)
+    X = rng.normal(size=(1, n, n, c)).astype(np.float32)
+    Kp = rng.normal(size=(1, n, n)).astype(np.float32)
+    Ke = rng.normal(size=(1, e1, e2)).astype(np.float32)
+
+    want = assoc_matvec_auto(jnp.asarray(X[0]), jnp.asarray(Kp[0]),
+                             jnp.asarray(Ke[0]), jnp.asarray(s1),
+                             jnp.asarray(d1), jnp.asarray(s2),
+                             jnp.asarray(d2), transpose=True)
+
+    mesh = make_edge_mesh(8)
+    plan = plan_batch_rows(n, s1[None], d1[None], 8, transpose=True)
+    agg = jax.jit(batched_row_sharded_aggregate(mesh, transpose=True))
+    got = agg(jnp.asarray(X), jnp.asarray(Kp), jnp.asarray(Ke), plan,
+              jnp.asarray(s2)[None], jnp.asarray(d2)[None])
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+    # at this scale the halo must be a thin boundary (boundary/area):
+    # measured 0.09-0.10 at n=600/p=8 on spatially-ordered Delaunay rows
+    pl = plan_row_shards(n, s1, d1, 8, transpose=True)
+    assert halo_fraction(pl) < 0.15
+
+
 def test_ngm_forward_edge_sharded_matches_single_device():
     """Full NGM forward with the 3 assoc-GNN layers row-sharded over the
     8-device mesh vs the plain single-device forward: same params (the
@@ -261,3 +302,68 @@ def test_ngm_forward_edge_sharded_matches_single_device():
     for k in ("ds_mat", "perm_mat", "cls_prob", "k_prob", "raw_scores"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_ngm_flagship_shapes_edge_sharded_forward_and_train_step():
+    """Flagship SHAPES (n_max=64, e_max=384, univ=600 — the production
+    config's buckets) through the edge-sharded model on the 8-device mesh:
+    forward parity AND one train step vs single-device. The backbone is
+    shrunk (CPU-mesh wall-clock), but every shape the sharding plan, spill
+    and halo machinery sees is the flagship's."""
+    import dataclasses
+    from fpmatch_tpu.core.config import Config, ShapeConfig, NGMConfig, \
+        BackboneConfig
+    from fpmatch_tpu.core.config import default_stages
+    from fpmatch_tpu.data.synthetic import synthetic_pair_batch
+    from fpmatch_tpu.models.ngm import NGMNet
+    from fpmatch_tpu.parallel.edge_partition import (make_edge_mesh,
+                                                     plan_batch_rows)
+    from fpmatch_tpu.train.state import create_state
+    from fpmatch_tpu.train.step import make_train_step
+
+    cfg = Config(
+        shapes=ShapeConfig(),            # flagship: 64 / 384 / 384 / 600
+        backbone=BackboneConfig(stem_channels=8,
+                                stage_channels=(8, 8, 16, 16),
+                                blocks_per_stage=1),
+        ngm=dataclasses.replace(
+            NGMConfig(), node_feature_dim=32, global_state_dim=32,
+            gnn_feat=(8, 8, 8), sk_iter=4, sk_layer_iter=4,
+            topk_extra_iter=2, afa_reg_hidden=4))
+    assert cfg.shapes.n_max == 64 and cfg.shapes.univ_size == 600
+    batch = synthetic_pair_batch(cfg, batch_size=2, n_range=(48, 62),
+                                 image_hw=(64, 96), seed=5)
+
+    model1 = NGMNet(cfg)
+    variables = model1.init(jax.random.PRNGKey(0), batch, train=False)
+    want = jax.jit(lambda v, b: model1.apply(v, b, train=False))(
+        variables, batch)
+
+    mesh = make_edge_mesh(8)
+    plan = plan_batch_rows(cfg.shapes.n_max, np.asarray(batch.src[:, 0]),
+                           np.asarray(batch.dst[:, 0]), 8, transpose=True)
+    batch_sh = batch._replace(row_plan=plan)
+    model2 = NGMNet(cfg, mesh=mesh)
+    got = jax.jit(lambda v, b: model2.apply(v, b, train=False))(
+        variables, batch_sh)
+    for k in ("ds_mat", "cls_prob", "k_prob", "raw_scores"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-2, atol=2e-3, err_msg=k)
+    # perm_mat is a discrete binarization: the sharded sum reassociates, so
+    # near-tie assignments may flip. Require the flip rate tiny (observed
+    # 6/8192 at these shapes), not bitwise equality.
+    flips = np.abs(np.asarray(got["perm_mat"])
+                   - np.asarray(want["perm_mat"])).sum()
+    assert flips <= 0.005 * got["perm_mat"].size, f"{flips} perm flips"
+
+    # one train step each (stage 3: every partition trains, all losses on)
+    stage = default_stages()[2]
+    m_single = make_train_step(model1, stage)(
+        create_state(variables, stage), batch)[1]
+    m_shard = make_train_step(model2, stage)(
+        create_state(variables, stage), batch_sh)[1]
+    assert np.isfinite(m_shard["total_loss"])
+    np.testing.assert_allclose(np.asarray(m_shard["total_loss"]),
+                               np.asarray(m_single["total_loss"]), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(m_shard["accuracy"]),
+                               np.asarray(m_single["accuracy"]), atol=0.05)
