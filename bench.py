@@ -25,11 +25,31 @@ Extra fields beyond the required four give the full picture.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: verified working on the axon backend
+# (probe 2026-08-20: 1.7s cold -> 0.17s warm). The driver's capture window
+# is the scarce resource (BENCH_r01-r03 all rc!=0 on wall-clock); local runs
+# populate the cache in-repo so the driver's run hits warm compiles.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_bench_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+    pass
+
+# chained-slope cross-checks double the number of compiled programs; they
+# validated the drain protocol in round 3 (the two agree, logs/
+# bench_tapform.log) and now run only under BENCH_CHAIN=1 to keep the
+# driver-path model stage to TWO compiles (forward drain + train drain).
+BENCH_CHAIN = os.environ.get("BENCH_CHAIN", "") == "1"
 
 
 def note(msg):
@@ -121,27 +141,29 @@ def bench_forward(cfg, model, variables, batch):
     the previous output (unfoldable, numerically nil, one fused add).
 
     Reported number: drain_seconds (the production enqueue-without-sync
-    regime); the chained-slope figure is printed to stderr as a
+    regime); the chained-slope figure (BENCH_CHAIN=1 only — it costs two
+    extra big compiles in the driver window) is printed to stderr as a
     cross-check — the two read the same steady-state throughput."""
     import jax.numpy as jnp
 
-    def make_chain(steps):
-        @jax.jit
-        def chain(v):
-            def body(_, carry):
-                acc, bias = carry
-                b = batch._replace(
-                    images=batch.images + bias.astype(batch.images.dtype))
-                out = model.apply(v, b, train=False)
-                s = out["cls_prob"].sum()
-                return (acc + s, s * 1e-20)
-            z = jnp.zeros(())
-            return jax.lax.fori_loop(0, steps, body, (z, z))[0]
-        return lambda: chain(variables)
+    if BENCH_CHAIN:
+        def make_chain(steps):
+            @jax.jit
+            def chain(v):
+                def body(_, carry):
+                    acc, bias = carry
+                    b = batch._replace(
+                        images=batch.images + bias.astype(batch.images.dtype))
+                    out = model.apply(v, b, train=False)
+                    s = out["cls_prob"].sum()
+                    return (acc + s, s * 1e-20)
+                z = jnp.zeros(())
+                return jax.lax.fori_loop(0, steps, body, (z, z))[0]
+            return lambda: chain(variables)
 
-    chain_secs = chained_slope_seconds(make_chain, lo=1, hi=5, repeats=2)
-    note(f"forward chained-slope: {batch.batch_size / chain_secs:.1f} "
-         f"pairs/s ({chain_secs * 1e3:.2f} ms)")
+        chain_secs = chained_slope_seconds(make_chain, lo=1, hi=5, repeats=2)
+        note(f"forward chained-slope: {batch.batch_size / chain_secs:.1f} "
+             f"pairs/s ({chain_secs * 1e3:.2f} ms)")
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["cls_prob"])
     drain = drain_seconds(lambda: fwd(variables, batch))
@@ -195,24 +217,26 @@ def bench_train_step(cfg, model, variables, batch):
     from fpmatch_tpu.train.step import make_train_step
 
     stage = default_stages()[2]  # all partitions training
-    state = create_state(variables, stage)
-    raw_step = make_train_step(model, stage, jit=False)
+    secs = float("inf")
+    if BENCH_CHAIN:
+        state = create_state(variables, stage)
+        raw_step = make_train_step(model, stage, jit=False)
 
-    def make_chain(steps):
-        @jax.jit
-        def chain(s):
-            def body(_, carry):
-                ns, _ = raw_step(carry, batch)
-                return ns
-            return jax.lax.fori_loop(0, steps, body, s)
-        return lambda: chain(state)
+        def make_chain(steps):
+            @jax.jit
+            def chain(s):
+                def body(_, carry):
+                    ns, _ = raw_step(carry, batch)
+                    return ns
+                return jax.lax.fori_loop(0, steps, body, s)
+            return lambda: chain(state)
 
-    secs = chained_slope_seconds(make_chain, lo=1, hi=4, repeats=2)
-    note(f"train chained-slope: {batch.batch_size / secs:.1f} pairs/s "
-         f"({secs * 1e3:.2f} ms)")
+        secs = chained_slope_seconds(make_chain, lo=1, hi=4, repeats=2)
+        note(f"train chained-slope: {batch.batch_size / secs:.1f} pairs/s "
+             f"({secs * 1e3:.2f} ms)")
 
-    # cross-check in the production regime: the donating jitted step,
-    # dependent calls enqueued without per-step sync
+    # the production regime: the donating jitted step, dependent calls
+    # enqueued without per-step sync
     step = make_train_step(model, stage)
     st = create_state(variables, stage)
     box = [st]
@@ -435,13 +459,39 @@ def run_stage(stage: str) -> dict:
                 **bench_univ_xla(), **health}
     if stage == "model":
         model = NGMNet(cfg)
-        # init on host CPU: Flax init executes eagerly op-by-op, and on the
-        # tunnel-attached TPU that is minutes of per-dispatch latency (seen
-        # 2026-08-18: >9 min); CPU init + one device_put is seconds.
+        # init on host CPU (on the tunnel-attached TPU eager init is minutes
+        # of per-dispatch latency). Even on CPU, EAGER init is ~4 min of
+        # op-by-op dispatch (measured 2026-08-20) — far over the driver
+        # window — so the init params are cached on disk (deterministic:
+        # PRNGKey(0) + the fixed flagship config) and rebuilt via a jitted
+        # init on a miss.
+        import flax.serialization as fser
+        params_cache = os.path.join(_CACHE_DIR, "model_stage_init.msgpack")
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            variables = model.init(jax.random.PRNGKey(0),
-                                   jax.device_put(batch, cpu), train=False)
+            batch_cpu = jax.device_put(batch, cpu)
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), batch_cpu,
+                                   train=False))
+            variables = None
+            if os.path.exists(params_cache):
+                try:
+                    with open(params_cache, "rb") as f:
+                        variables = fser.from_bytes(shapes, f.read())
+                    note("init params loaded from cache")
+                except Exception as e:  # noqa: BLE001 — cache never fatal
+                    note(f"init cache unreadable: {type(e).__name__}")
+                    variables = None
+            if variables is None:
+                t0 = time.perf_counter()
+                variables = jax.jit(
+                    lambda: model.init(jax.random.PRNGKey(0), batch_cpu,
+                                       train=False))()
+                jax.block_until_ready(variables)
+                note(f"jitted init: {time.perf_counter() - t0:.1f}s")
+                os.makedirs(_CACHE_DIR, exist_ok=True)
+                with open(params_cache, "wb") as f:
+                    f.write(fser.to_bytes(variables))
         variables = jax.device_put(variables, jax.devices()[0])
         pairs_per_s = bench_forward(cfg, model, variables, batch)
         note(f"forward: {pairs_per_s:.1f}")
