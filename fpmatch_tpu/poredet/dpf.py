@@ -84,19 +84,28 @@ _NMS_WINDOW = 17     # reference nmsWindow (dpf.py:530)
 
 
 def _ring_offsets(radius: int):
-    """Angularly-ordered midpoint-circle offsets (the reference's RX/RY
-    tables): one pass around the circle so run counting sees arcs."""
-    pts = set()
-    x, y, err = radius, 0, 0
-    while x >= y:
-        for dx, dy in ((x, y), (y, x), (-y, x), (-x, y), (-x, -y), (-y, -x),
-                       (y, -x), (x, -y)):
-            pts.add((dx, dy))
-        y += 1
-        err += 1 + 2 * y
-        if 2 * (err - x) + 1 > 0:
-            x -= 1
-            err += 1 - 2 * x
+    """Angularly-ordered ring offsets matching the reference's RX/RY tables
+    (pore-detection/dpf.py:92-95) EXACTLY, derived rather than copied: for
+    j >= 2 the table is the rounded annulus {p != 0 : floor(|p| + 0.5) == j}
+    (verified point-set-identical for every j, and every ring size equals
+    tamRaio); j == 1 is special-cased in the tables as the radius-2 diamond
+    (|dx| + |dy| == 2). The earlier midpoint-circle rings were thinner
+    (24 vs 32 points at j=4) and wrong at j=1 (4-point radius-1 ring vs the
+    reference's 8-point radius-2 diamond) — j=1 is the COMMON case on
+    thin-ridge images, and the too-tight ring sat inside the pore, failing
+    the 33%-bright gate: the round-3 recall gap (0.46 vs compact 0.53).
+    Only the cyclic order matters for arc counting (the wrap correction
+    handles the seam), so sorting by angle is equivalent to the tables'
+    clockwise order."""
+    if radius == 1:
+        pts = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)
+               if abs(dx) + abs(dy) == 2]
+    else:
+        pts = [(dx, dy)
+               for dx in range(-radius - 1, radius + 2)
+               for dy in range(-radius - 1, radius + 2)
+               if (dx, dy) != (0, 0)
+               and math.floor(math.hypot(dx, dy) + 0.5) == radius]
     pts = sorted(pts, key=lambda p: math.atan2(p[1], p[0]))
     arr = np.asarray(pts, np.int32)
     return arr[:, 0], arr[:, 1]          # (k,) dx, dy
