@@ -118,38 +118,45 @@ def soft_topk_batch(scores, ks, n1, n2, *, tau=1.0, max_iter=10, extra_iter=6):
 def greedy_perm(score_rank: jnp.ndarray, k, n1, n2) -> jnp.ndarray:
     """Greedy one-to-one match selection (reference soft_topk.py:56-77).
 
-    Walks candidate cells in descending `score_rank` order, keeping a cell iff
-    its row and column are both unused, until round(k) matches are kept.
-    Sequential by nature → lax.while_loop over the sorted candidate list; the
-    output is a hard 0/1 matrix wrapped in stop_gradient by callers.
+    The reference walks candidate cells in descending `score_rank` order,
+    keeping a cell iff its row and column are both unused, until round(k)
+    matches are kept. That walk is equivalent to repeatedly taking the
+    GLOBAL argmax over cells whose row and column are still free (at every
+    acceptance, the next accepted candidate is by definition the
+    best-ranked free cell; ties resolve to the lowest flat index in both
+    formulations) — which replaces the original data-dependent
+    `while_loop` over up to S1·S2 sorted candidates with a FIXED
+    min(S1, S2)-trip peeling loop of vectorized masked argmaxes.
+
+    The while-loop form was the single most expensive op in the traced
+    train step (9.3 ms of a 37.7 ms step at batch 8, n=64 — it runs one
+    scalar candidate per iteration, thousands of iterations when k is
+    large, and a vmapped while runs to the slowest element); the peeling
+    form is static-shape, batch-uniform, and ~20x cheaper.
 
     :param score_rank: (S1, S2) ranking scores (e.g. hungarian_mask * soft map)
     """
     s1, s2 = score_rank.shape
     valid = rect_mask(n1, n2, s1, s2)
-    flat = jnp.where(valid, score_rank, NEG_INF).reshape(-1)
-    order = jnp.argsort(-flat)
+    flat0 = jnp.where(valid, score_rank, NEG_INF).reshape(-1)
     k_round = jnp.round(k).astype(jnp.int32)
 
-    def cond(state):
-        t, matched, _, _, _ = state
-        return (matched < k_round) & (t < s1 * s2)
-
-    def body(state):
-        t, matched, row_used, col_used, x = state
-        idx = order[t]
+    def body(i, state):
+        flat, x = state
+        idx = jnp.argmax(flat)
         r = idx // s2
         c = idx % s2
-        ok = (flat[idx] > NEG_INF) & (~row_used[r]) & (~col_used[c])
+        ok = (i < k_round) & (flat[idx] > NEG_INF)
         x = jnp.where(ok, x.at[r, c].set(1.0), x)
-        row_used = jnp.where(ok, row_used.at[r].set(True), row_used)
-        col_used = jnp.where(ok, col_used.at[c].set(True), col_used)
-        return t + 1, matched + ok.astype(jnp.int32), row_used, col_used, x
+        # retire the accepted cell's row and column
+        rows = jnp.arange(s1) == r
+        cols = jnp.arange(s2) == c
+        dead = rows[:, None] | cols[None, :]
+        flat = jnp.where(ok & dead.reshape(-1), NEG_INF, flat)
+        return flat, x
 
-    init = (jnp.int32(0), jnp.int32(0),
-            jnp.zeros((s1,), bool), jnp.zeros((s2,), bool),
-            jnp.zeros((s1, s2), score_rank.dtype))
-    *_, x = jax.lax.while_loop(cond, body, init)
+    x0 = jnp.zeros((s1, s2), score_rank.dtype)
+    _, x = jax.lax.fori_loop(0, min(s1, s2), body, (flat0, x0))
     return x
 
 
