@@ -75,3 +75,63 @@ def test_univ_spill_only_graph_still_exact(rng):
     got = assoc_matvec_univ(X, Kp, Ke, plan, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# kernel v3: padded-degree dense form (assoc_univ_v3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("transpose", [True, False])
+def test_univ_v3_matches_xla(rng, transpose):
+    """v3 kernel (interpret mode) vs the one-shot XLA op, Delaunay pair."""
+    from fpmatch_tpu.kernels.assoc_univ_v3 import (assoc_matvec_univ_v3,
+                                                   build_kep, plan_univ_v3)
+
+    n, c = 200, 16
+    pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+    _, s1, d1 = build_edges(pts1, stg="tri")
+    _, s2, d2 = build_edges(pts2, stg="tri")
+    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(len(s1), len(s2))).astype(np.float32))
+
+    want = assoc_matvec(X, Kp, Ke, jnp.asarray(s1), jnp.asarray(d1),
+                        jnp.asarray(s2), jnp.asarray(d2), transpose=transpose)
+
+    plan = plan_univ_v3(pts2, s1, d1, s2, d2, transpose=transpose)
+    KeP = build_kep(Ke, plan)
+    got = assoc_matvec_univ_v3(X, Kp, Ke, plan, KeP, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_univ_v3_spill_capture(rng):
+    """Slot-cap overflow and band violations go to the spill lists and the
+    result stays exact."""
+    from fpmatch_tpu.kernels.assoc_univ_v3 import (assoc_matvec_univ_v3,
+                                                   build_kep, plan_univ_v3)
+
+    n, c = 140, 4
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32)
+    # random (non-local) graphs force band violations; tiny caps force
+    # slot overflow
+    def rg(n, m):
+        src = rng.integers(0, n, size=m).astype(np.int32)
+        dst = (src + rng.integers(1, n, size=m).astype(np.int32)) % n
+        return src, dst
+    s1, d1 = rg(n, 600)
+    s2, d2 = rg(n, 600)
+    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ke = jnp.asarray(rng.normal(size=(600, 600)).astype(np.float32))
+
+    want = assoc_matvec(X, Kp, Ke, jnp.asarray(s1), jnp.asarray(d1),
+                        jnp.asarray(s2), jnp.asarray(d2), transpose=True)
+    plan = plan_univ_v3(pts2, s1, d1, s2, d2, transpose=True,
+                        s1_cap=4, s2_cap=4)
+    assert len(plan.spill1) > 0 and len(plan.spill2) > 0
+    KeP = build_kep(Ke, plan)
+    got = assoc_matvec_univ_v3(X, Kp, Ke, plan, KeP, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
