@@ -341,47 +341,65 @@ def chained_slope_seconds(make_fn, lo=2, hi=12, repeats=3):
 
 def bench_univ():
     """UNIV-scale (n=600, e≈3600, ~13M assoc edges/pair) single-pair matvec
-    through the blocked-locality Pallas kernel (kernels/assoc_univ.py).
-    Chained-slope timing (see chained_slope_seconds). Runs in its own
-    subprocess stage."""
+    through the v3 padded-degree Pallas kernel (kernels/assoc_univ_v3.py;
+    replaced the v2 blocked one-hot kernel in round 4 — v2's best was
+    0.53G, v3 measures 2.3G f32-exact / 2.7G bf16). Chained-slope timing
+    (see chained_slope_seconds). Runs in its own subprocess stage."""
     import jax.numpy as jnp
-    from fpmatch_tpu.kernels.assoc_univ import (assoc_matvec_univ,
-                                                gather_ke_blocks, plan_univ)
+    from fpmatch_tpu.kernels.assoc_univ_v3 import (assoc_matvec_univ_v3,
+                                                   build_kep, plan_univ_v3)
 
     pts1, pts2, s1, d1, s2, d2, X, Kp, Ke, nnz = _univ_problem()
-    plan = plan_univ(pts1, pts2, s1, d1, s2, d2, transpose=True)
-    note(f"univ plan: b1={plan.b1} b2={plan.b2} "
+    plan = plan_univ_v3(pts2, s1, d1, s2, d2, transpose=True)
+    note(f"univ v3 plan: s1={plan.s1} s2={plan.s2} "
          f"spill={len(plan.spill1)}+{len(plan.spill2)}")
 
     out = {}
-    # one precision only in the driver path (round-4 budget trim): bf16
-    # "default" is the kernel's best number; the f32 figure is in
-    # logs/bench_tapform.log (0.417G).
-    for prec in ("default",):
-        dt = jnp.bfloat16 if prec == "default" else jnp.float32
-        KeR = jax.block_until_ready(
-            jax.jit(lambda k: gather_ke_blocks(k, plan, dtype=dt))(Ke))
+    # two numbers: the one-shot wrapper in exact f32 (drop-in op), and the
+    # in-layout raw chain in bf16 (the multi-layer production regime: prep
+    # once, chain the kernel, unprep once — per-layer permute/transposes
+    # and the wrapper's layout glue disappear)
+    from fpmatch_tpu.kernels.assoc_univ_v3 import (
+        assoc_matvec_univ_v3_raw, univ_v3_prep, univ_v3_prep_kp,
+        univ_v3_unprep)
 
-        def make_chain(steps, prec=prec, KeR=KeR):
+    for name, dt, raw in (("f32", jnp.float32, False),
+                          ("raw_bf16", jnp.bfloat16, True)):
+        KeP = jax.block_until_ready(
+            jax.jit(lambda k, dt=dt: build_kep(k, plan, dtype=dt))(Ke))
+        Kpt = univ_v3_prep_kp(Kp, plan)
+
+        def make_chain(steps, dt=dt, KeP=KeP, raw=raw, Kpt=Kpt):
             @jax.jit
-            def chain(x, kr):
+            def chain(x, kep):
+                if raw:
+                    xt = univ_v3_prep(x, plan, dt)
+
+                    def body(_, acc):
+                        y = assoc_matvec_univ_v3_raw(acc.astype(dt), Kpt,
+                                                     Ke, plan, kep)
+                        return y / jnp.maximum(jnp.abs(y).max(), 1.0)
+                    yt = jax.lax.fori_loop(0, steps, body,
+                                           xt.astype(jnp.float32))
+                    return univ_v3_unprep(yt, plan)
+
                 def body(_, acc):
-                    y = assoc_matvec_univ(acc, Kp, Ke, plan, kr,
-                                          precision=prec)
+                    y = assoc_matvec_univ_v3(acc, Kp, Ke, plan, kep,
+                                             compute_dtype=dt)
                     # renormalize so the chain stays finite; negligible next
-                    # to the 13M-edge contraction and identical across paths
+                    # to the 13M-edge contraction, identical across paths
                     return y / jnp.maximum(jnp.abs(y).max(), 1.0)
                 return jax.lax.fori_loop(0, steps, body, x)
-            return lambda: chain(X, KeR)
+            return lambda: chain(X, KeP)
 
         try:
             secs = chained_slope_seconds(make_chain)
-            out[f"univ_pallas_{prec}_edges_per_s"] = round(nnz / secs, 0)
-            note(f"univ pallas {prec}: {nnz / secs:.3e} edges/s "
+            out[f"univ_pallas_v3_{name}_edges_per_s"] = round(nnz / secs, 0)
+            note(f"univ pallas v3 {name}: {nnz / secs:.3e} edges/s "
                  f"({secs * 1e3:.2f} ms/invocation)")
         except Exception as e:  # noqa: BLE001
-            note(f"univ pallas {prec} failed: {type(e).__name__}")
-            out[f"univ_pallas_{prec}_edges_per_s"] = None
+            note(f"univ pallas v3 {name} failed: {type(e).__name__}")
+            out[f"univ_pallas_v3_{name}_edges_per_s"] = None
 
     return out
 

@@ -2,9 +2,13 @@
 
 Replaces the v2 blocked one-hot-matmul kernel (assoc_univ.py, 0.53 G edges/s
 — the FLOP-inflated dead end) with the minimal-FLOP chunked formulation's
-math (ops/assoc.assoc_matvec_chunked, the measured XLA dispatch winner at
-2.45 G edges/s) restructured around what Mosaic actually lowers fast on this
-chip (probed 2026-08-20):
+math (ops/assoc.assoc_matvec_chunked, the XLA dispatch winner at 2.45 G
+edges/s) restructured around what Mosaic actually lowers fast on this chip
+(probed 2026-08-20). Measured at n=600 / 13M association edges on the v5e:
+**2.9 G edges/s f32-exact (one-shot wrapper), 4.4 G edges/s bf16 in-layout
+chained** (the multi-layer regime) — 1.2×/1.8× the chunked-XLA dispatch
+default. The build sequence and each step's ablation evidence:
+logs/univ3_ablate.log, logs/univ3_sweep.log, RESULTS.md round-4 section.
 
   * within-tile LANE gather (`take_along_axis(x, idx, axis=1)`, idx < 128,
     shapes equal) — native dynamic lane shuffle;
@@ -65,14 +69,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.assoc import assoc_matvec
 
-I1_TILE = 8          # output rows per kernel row-tile
+import os as _os
+
+# row-tile height: output rows per kernel grid step (env knob for tuning)
+I1_TILE = int(_os.environ.get("FPMATCH_UNIV3_TILE", "16"))
 LANE = 128           # lane-window width
 C_DEFAULT = 16
 
 # perf-bisection switches (debug only; wrong results when set):
 # comma-separated list in FPMATCH_UNIV3_ABLATE from
 # {nogather, nodot, nocond, nodma}
-import os as _os
 _ABLATE = set(filter(None,
                      _os.environ.get("FPMATCH_UNIV3_ABLATE", "").split(",")))
 
@@ -109,15 +115,30 @@ class UnivPlanV3(NamedTuple):
     in2: np.ndarray
 
 
+def _auto_cap(deg: np.ndarray, spill_frac: float = 0.005) -> int:
+    """Smallest slot count whose overflow (edges beyond it, summed over
+    nodes) is <= spill_frac of all edges: padded planes past the typical
+    degree are pure masked work in the kernel (measured sweep at n=600:
+    cap 9 beats the max-degree 11 by ~7%, cap <= 8 loses to XLA spill
+    cost — logs/univ3_sweep.log)."""
+    total = max(int(deg.sum()), 1)
+    for s in range(1, int(deg.max()) + 1):
+        if np.maximum(deg - s, 0).sum() <= spill_frac * total:
+            return s
+    return int(deg.max())
+
+
 def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
-                 transpose: bool = True, s1_cap: int = 16,
-                 s2_cap: int = 16) -> UnivPlanV3:
+                 transpose: bool = True, s1_cap: int = None,
+                 s2_cap: int = None) -> UnivPlanV3:
     """Build the padded-degree plan.
 
     :param pts2: (n2, 2) graph-2 node coordinates (spatial sort key). Graph 1
         needs no sort — its rows are DMA-gathered individually.
     :param transpose: plan Kᵀ·x (the model's orientation): out = dst,
         in = src per assoc_matvec's role swap.
+    :param s1_cap, s2_cap: slot counts per node (None = auto: smallest cap
+        spilling <= 0.5% of that side's edges to the XLA path).
     """
     src1 = np.asarray(src1, np.int32)
     dst1 = np.asarray(dst1, np.int32)
@@ -148,7 +169,7 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
     # ---- graph-1 slots ----------------------------------------------------
     order1 = np.argsort(out1, kind="stable")
     deg1 = np.bincount(out1, minlength=n1)
-    s1 = int(min(max(deg1.max(), 1), s1_cap))
+    s1 = int(min(max(deg1.max(), 1), s1_cap or _auto_cap(deg1)))
     d1_slot = np.zeros((n1p, s1), np.int32)
     e1_slot = np.full((n1p, s1), e1, np.int32)
     spill1 = []
@@ -166,7 +187,7 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
     i2s = inv2[in2]                  # sorted in-column per edge
     order2 = np.argsort(o2s, kind="stable")
     deg2 = np.bincount(o2s, minlength=n2)
-    s2 = int(min(max(deg2.max(), 1), s2_cap))
+    s2 = int(min(max(deg2.max(), 1), s2_cap or _auto_cap(deg2)))
     e2_slot = np.full((s2, n2p), e2, np.int32)
     d2s = np.zeros((s2, n2p), np.int32)      # sorted in-column per slot
     d2_ok = np.zeros((s2, n2p), bool)
@@ -176,6 +197,11 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
     for i in range(n2):
         es = order2[starts2[i]:starts2[i + 1]]
         w = i // LANE
+        # fill same-window targets into LOW slot planes, cross-window into
+        # high ones: a slot plane's side windows then activate only when
+        # cross-window edges reach that plane, so the trace-time win_any
+        # pruning below kills far more (plane, window, k) gather blocks
+        es = sorted(es, key=lambda eid: abs(int(i2s[eid]) // LANE - w))
         kept = 0
         for eid in es:
             tgt = i2s[eid]
@@ -228,25 +254,26 @@ def build_kep(Ke: jnp.ndarray, plan: UnivPlanV3,
 
 
 def _kernel(d1_ref,                      # SMEM (n1p, s1) int32
-            win_ref,                     # SMEM (s2, W, 3) int32
             xt_ref,                      # ANY  (n1p, C, n2p)
-            kep_ref,                     # VMEM block (1, 1, s2, 8, n2p)
+            kep_ref,                     # VMEM block (1, s1, s2, 8, n2p)
             idx_ref,                     # VMEM (s2, W, 3, LANE) int32
-            msk_ref,                     # VMEM (s2, W, 3, LANE) f32
+            msk_ref,                     # VMEM (s2, W, 3, LANE) compute dtype
             y_ref,                       # VMEM block (1, 128, n2p) out
             r_ref,                       # scratch (2, 128, n2p)
             sem,                         # DMA sems (2, I1_TILE)
             acc_ref,                     # scratch (128, n2p) f32
-            *, s1: int, s2: int, n2p: int, c: int):
+            *, s1: int, s2: int, n2p: int, c: int,
+            win_any: tuple, all_ones: tuple, interpret: bool = False):
     t1 = pl.program_id(0)
-    si = pl.program_id(1)
     n_t1 = pl.num_programs(0)
-    n_s1 = pl.num_programs(1)
     W = n2p // LANE
-    step = t1 * n_s1 + si
+    # the whole s1 loop runs INSIDE one grid step: with grid (t1, s1) the
+    # measured per-step fixed cost (~4 us x 825 steps = a 3.3 ms floor that
+    # survived removing ALL inner compute, logs/univ3_ablate.log "oneplane")
+    # dominated the kernel; 75 fat steps amortize it 11x.
 
     def dma(slot, tt, ss):
-        """Start the 8 row DMAs for grid step (tt, ss) into r_ref[slot]."""
+        """Start the 8 row DMAs for (row-tile tt, slot plane ss)."""
         if "nodma" in _ABLATE:
             return
         for i in range(I1_TILE):
@@ -267,131 +294,231 @@ def _kernel(d1_ref,                      # SMEM (n1p, s1) int32
                 sem.at[slot, i],
             ).wait()
 
-    # double buffer: step 0 starts its own DMA; every step prefetches step+1
-    @pl.when(step == 0)
+    # double buffer across s1 iterations and across grid steps with a
+    # GLOBAL slot counter (t1*s1 + j) % 2: with odd s1 a per-step j-parity
+    # slot collides at the tile boundary (the last group computes from the
+    # same slot the next tile's prefetch writes — a device fault on chip)
+    base = t1 * s1
+    @pl.when(t1 == 0)
     def _():
-        dma(0, t1, si)
+        dma(0, t1, 0)
 
-    nxt = step + 1
-    @pl.when(nxt < n_t1 * n_s1)
-    def _():
-        dma(nxt % 2, nxt // n_s1, nxt % n_s1)
-
-    wait(step % 2)
-    R = r_ref[step % 2]                                   # (128, n2p)
-
-    @pl.when(si == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # static 0/1 channel-expansion matrix: E[r, i] = 1 iff r // c == i
-    rows = jax.lax.broadcasted_iota(jnp.int32, (I1_TILE * c, I1_TILE), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (I1_TILE * c, I1_TILE), 1)
-    E = (rows // c == cols).astype(jnp.float32)
+    # (bf16 path's MXU row broadcast)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (I1_TILE * c, I1_TILE), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (I1_TILE * c, I1_TILE), 1)
+    E = (rows_i // c == cols_i).astype(jnp.float32)
 
-    def s2_body(s, _):
-        kv = kep_ref[0, 0, s]                             # (8, n2p)
-        for w in range(W):                                # static windows
-            g = jnp.zeros((I1_TILE * c, LANE), jnp.float32)
-            # all 3 neighbour windows run UNCONDITIONALLY: inactive ones
-            # multiply by an all-zero mask. An earlier variant guarded each
-            # with lax.cond on a host flag — the ~165 scalar branches per
-            # grid step cost 16 of the kernel's 26 ms (ablation matrix,
-            # logs/univ3_ablate.log); masked-dead work is free by
-            # comparison.
-            for k in range(3):
-                wk = w + k - 1
-                if wk < 0 or wk >= W:
+    for j in range(s1):
+        if j + 1 < s1:
+            dma((base + j + 1) % 2, t1, j + 1)
+        else:
+            @pl.when(t1 + 1 < n_t1)
+            def _():
+                dma((base + j + 1) % 2, t1 + 1, 0)
+        wait((base + j) % 2)
+        R = r_ref[(base + j) % 2]                         # (128, n2p)
+        # bf16 path: bitcast ONCE per row group to 32-bit row-pairs for the
+        # lane gathers (tpu.dynamic_gather wants 32-bit data; lane shuffles
+        # never mix rows, so the packing is transparent; bitcasting a window
+        # SLICE instead trips "Invalid input layout")
+        R32 = None
+        if R.dtype == jnp.bfloat16 and not interpret and \
+                "nogather" not in _ABLATE:
+            R32 = pltpu.bitcast(R, jnp.int32)             # (64, n2p)
+
+        # the (plane, window, neighbour) nest is UNROLLED with trace-time
+        # pruning from the host plan: win_any skips gather blocks with no
+        # hits (~1/3 after plan_univ_v3's slot reordering), all_ones skips
+        # the mask multiply where every lane is a same-window hit. History
+        # (logs/univ3_ablate.log): lax.cond guards instead cost 16 of
+        # 26 ms (scalar branches); a HIGHEST-precision MXU channel-expand
+        # cost another 11 ms.
+        for s in range(1 if "oneplane" in _ABLATE else s2):
+            kv = kep_ref[0, j, s]                         # (8, n2p)
+            for w in range(W):                            # static windows
+                if not any(win_any[s][w][k] for k in range(3)) \
+                        and "nogather" not in _ABLATE:
                     continue
-                win = R[:, wk * LANE:(wk + 1) * LANE]
-                if "nogather" in _ABLATE:
-                    gk = win
-                else:
-                    idx = jnp.broadcast_to(idx_ref[s, w, k][None, :],
-                                           (I1_TILE * c, LANE))
-                    gk = jnp.take_along_axis(win, idx, axis=1)
-                g = g + gk * msk_ref[s, w, k][None, :]
-            # per-row Ke broadcast: row group i1 (16 channel sublanes)
-            # multiplies by kv[i1]. A (128,8)@(8,128) HIGHEST-precision MXU
-            # expand cost 11 of the 26 ms (6-pass emulation, 55 tiny
-            # matmuls/step); 8 static row-slices with native (1,128) ->
-            # (16,128) sublane broadcast are ~free.
-            if "nodot" not in _ABLATE:
+                g = None
+                for k in range(3):
+                    wk = w + k - 1
+                    if wk < 0 or wk >= W:
+                        continue
+                    if not win_any[s][w][k] and "nogather" not in _ABLATE:
+                        continue
+                    if "nogather" in _ABLATE:
+                        gk = R[:, wk * LANE:(wk + 1) * LANE]
+                    elif R32 is not None:
+                        win32 = R32[:, wk * LANE:(wk + 1) * LANE]
+                        idx = jnp.broadcast_to(idx_ref[s, w, k][None, :],
+                                               win32.shape)
+                        gk = pltpu.bitcast(
+                            jnp.take_along_axis(win32, idx, axis=1),
+                            jnp.bfloat16)
+                    else:
+                        win = R[:, wk * LANE:(wk + 1) * LANE]
+                        idx = jnp.broadcast_to(idx_ref[s, w, k][None, :],
+                                               (I1_TILE * c, LANE))
+                        gk = jnp.take_along_axis(win, idx, axis=1)
+                    if not all_ones[s][w][k]:
+                        gk = gk * msk_ref[s, w, k][None, :]
+                    g = gk if g is None else g + gk
+                if g is None:
+                    continue
+                # per-row Ke broadcast (pad slots already carry kv == 0)
                 ws = slice(w * LANE, (w + 1) * LANE)
-                for i in range(I1_TILE):
-                    rs = slice(i * c, (i + 1) * c)
-                    acc_ref[rs, ws] += g[rs] * kv[i:i + 1, ws]
-            else:
-                acc_ref[:, w * LANE:(w + 1) * LANE] += g
-        return 0
+                if "nodot" in _ABLATE:
+                    acc_ref[:, ws] += g.astype(jnp.float32)
+                elif R.dtype == jnp.bfloat16:
+                    # one (128,8)@(8,128) DEFAULT-precision MXU expand +
+                    # one full-tile update: the 8-slice f32 form below is
+                    # ~24 small RMW ops per window, and DEFAULT's bf16
+                    # rounding of kv is within this path's accuracy class
+                    kec = jax.lax.dot_general(
+                        E, kv[:, ws], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[:, ws] += g.astype(jnp.float32) * kec
+                else:
+                    for i in range(I1_TILE):
+                        rs = slice(i * c, (i + 1) * c)
+                        acc_ref[rs, ws] += (g[rs] * kv[i:i + 1, ws]
+                                            ).astype(jnp.float32)
 
-    jax.lax.fori_loop(0, s2, s2_body, 0, unroll=False)
-
-    @pl.when(si == n_s1 - 1)
-    def _():
-        y_ref[0] = acc_ref[...]
+    y_ref[0] = acc_ref[...]
 
 
-def assoc_matvec_univ_v3(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
-                         plan: UnivPlanV3, KeP: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
-    """K·vec(X) (orientation fixed by the plan) via the v3 kernel.
-
-    :param X: (n1, n2, C) f32; :param Kp: (n1, n2); :param Ke: (E1, E2)
-        (used only for the spill fallback); :param KeP: from `build_kep`.
-    """
-    n1, n2, c = X.shape
+def univ_v3_prep(X: jnp.ndarray, plan: UnivPlanV3,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(n1, n2, C) -> the kernel's sorted-transposed layout (n1p, C, n2p).
+    One gather + one transpose; in a chained multi-layer model do this ONCE
+    and keep the layout between layers (the kernel's output reshapes to
+    this layout for free)."""
     p = plan
-    assert n1 == p.n1 and n2 == p.n2
-    t1 = p.n1p // I1_TILE
-    W = p.n2p // LANE
+    Xs = X[:, p.perm2]
+    return jnp.pad(jnp.transpose(Xs, (0, 2, 1)),
+                   ((0, p.n1p - p.n1), (0, 0), (0, p.n2p - p.n2))
+                   ).astype(compute_dtype)
 
-    # per-matvec prep (X changes every layer): sorted-col transpose + pad
-    Xs = X[:, p.perm2]                                     # (n1, n2, C)
-    Xt = jnp.pad(jnp.transpose(Xs, (0, 2, 1)),
-                 ((0, p.n1p - n1), (0, 0), (0, p.n2p - n2)))   # (n1p, C, n2p)
 
-    grid = (t1, p.s1)
+def univ_v3_unprep(Yt: jnp.ndarray, plan: UnivPlanV3) -> jnp.ndarray:
+    """Inverse of `univ_v3_prep` (output is f32 (n1, n2, C))."""
+    p = plan
+    Y = jnp.transpose(Yt[:p.n1, :, :p.n2], (0, 2, 1))
+    return Y[:, p.inv2]
+
+
+def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
+                             Ket: jnp.ndarray, plan: UnivPlanV3,
+                             KeP: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """K·vec(X) entirely in the sorted-transposed layout: Xt from
+    `univ_v3_prep` -> Yt (n1p, C, n2p) f32, INCLUDING the Kp diagonal and
+    the spilled edges. Chain layers through this (one free reshape per
+    layer, no per-layer permutes/transposes — those were ~3.3 ms of the
+    5.5 ms round-3 wrapper).
+
+    :param Kpt: (n1p, n2p) f32 — Kp in sorted-column order, zero-padded
+        (`univ_v3_prep_kp`).
+    :param Ket: (E1, E2) Ke — only the spilled edges are read.
+    """
+    p = plan
+    n1p, c, n2p = Xt.shape
+    t1 = n1p // I1_TILE
+
+    win_any = tuple(tuple(tuple(bool(v) for v in row)
+                          for row in plane) for plane in p.win_any)
+    ones = (p.gat_msk == 1.0).all(-1) & (p.win_any > 0)
+    all_ones = tuple(tuple(tuple(bool(v) for v in row)
+                           for row in plane) for plane in ones)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, s1=p.s1, s2=p.s2, n2p=p.n2p, c=c),
-        grid=grid,
+        functools.partial(_kernel, s1=p.s1, s2=p.s2, n2p=p.n2p, c=c,
+                          win_any=win_any, all_ones=all_ones,
+                          interpret=interpret),
+        grid=(t1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),         # d1_slot
-            pl.BlockSpec(memory_space=pltpu.SMEM),         # win_any
             pl.BlockSpec(memory_space=pltpu.ANY),          # Xt (HBM)
-            pl.BlockSpec((1, 1, p.s2, I1_TILE, p.n2p),
-                         lambda i, s: (i, s, 0, 0, 0)),    # KeP
+            pl.BlockSpec((1, p.s1, p.s2, I1_TILE, p.n2p),
+                         lambda i: (i, 0, 0, 0, 0)),       # KeP
             pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_idx
             pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_msk
         ],
-        out_specs=pl.BlockSpec((1, I1_TILE * c, p.n2p), lambda i, s: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, I1_TILE * c, p.n2p), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t1, I1_TILE * c, p.n2p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, I1_TILE * c, p.n2p), jnp.float32),
+            pltpu.VMEM((2, I1_TILE * c, p.n2p), Xt.dtype),
             pltpu.SemaphoreType.DMA((2, I1_TILE)),
             pltpu.VMEM((I1_TILE * c, p.n2p), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(p.d1_slot), jnp.asarray(p.win_any), Xt,
-      KeP, jnp.asarray(p.gat_idx), jnp.asarray(p.gat_msk))
+    )(jnp.asarray(p.d1_slot), Xt,
+      # KeP stays f32 even on the bf16 path: Mosaic can't broadcast a bf16
+      # (1,128) row slice at a sublane offset inside a packed (16,128)
+      # tile ("Invalid input layout"); the f32 row broadcast is native
+      KeP.astype(jnp.float32),
+      jnp.asarray(p.gat_idx), jnp.asarray(p.gat_msk, Xt.dtype))
 
-    # (t1, 8*C, n2p) -> (n1, n2, C) in original column order
-    Y = out.reshape(t1, I1_TILE, c, p.n2p)[:, :, :, :n2]
-    Y = jnp.transpose(Y.reshape(p.n1p, c, n2), (0, 2, 1))[:n1]
-    Y = Y[:, p.inv2]                                       # unsort columns
-    Y = Y + Kp[..., None] * X
+    # (t1, 8*C, n2p) rows are (i1_local*C + c) row-major -> a FREE reshape
+    Yt = out.reshape(p.n1p, c, p.n2p)
+    Yt = Yt + Kpt[:, None, :] * Xt.astype(jnp.float32)
 
-    # spilled edges through the one-shot XLA path (zero Kp; roles already
-    # swapped in the plan, so transpose=False here)
+    # spilled edges, computed IN LAYOUT (sorted columns, channel-major)
+    inv2 = p.inv2
     if len(p.spill1):
-        Y = Y + assoc_matvec(X, jnp.zeros_like(Kp), Ke[p.spill1],
-                             p.out1[p.spill1], p.in1[p.spill1],
-                             p.out2, p.in2, transpose=False)
+        sp = p.spill1
+        rows = Xt[p.in1[sp]].astype(jnp.float32)          # (k1, C, n2p)
+        in2s = inv2[p.in2]
+        out2s = inv2[p.out2]
+        W = rows[:, :, in2s] * Ket[sp][:, None, :]        # (k1, C, E2)
+        T = jax.ops.segment_sum(jnp.swapaxes(W, 0, 2), out2s,
+                                num_segments=p.n2p)       # (n2p, C, k1)
+        Yt = Yt.at[p.out1[sp]].add(jnp.swapaxes(T, 0, 2))
     if len(p.spill2):
-        keep1 = np.setdiff1d(np.arange(Ke.shape[0], dtype=np.int32),
+        keep1 = np.setdiff1d(np.arange(Ket.shape[0], dtype=np.int32),
                              p.spill1)
-        Y = Y + assoc_matvec(X, jnp.zeros_like(Kp), Ke[keep1][:, p.spill2],
-                             p.out1[keep1], p.in1[keep1],
-                             p.out2[p.spill2], p.in2[p.spill2],
-                             transpose=False)
-    return Y
+        f = p.spill2
+        cols_in = inv2[p.in2[f]]
+        cols_out = inv2[p.out2[f]]
+        # small fancy slice (E1k, k2), NOT Ke[keep1][:, f] which would
+        # materialize a full (E1, E2) copy per matvec
+        kef = Ket[keep1[:, None], f[None, :]]
+        W = Xt[p.in1[keep1]][:, :, cols_in].astype(jnp.float32) \
+            * kef[:, None, :]                             # (E1k, C, k2)
+        T = jax.ops.segment_sum(W, p.out1[keep1],
+                                num_segments=p.n1p)       # (n1p, C, k2)
+        Yt = Yt.at[:, :, cols_out].add(T)
+    return Yt
+
+
+def univ_v3_prep_kp(Kp: jnp.ndarray, plan: UnivPlanV3) -> jnp.ndarray:
+    """Kp (n1, n2) -> sorted-column, zero-padded (n1p, n2p) f32."""
+    p = plan
+    return jnp.pad(Kp[:, p.perm2].astype(jnp.float32),
+                   ((0, p.n1p - p.n1), (0, p.n2p - p.n2)))
+
+
+def assoc_matvec_univ_v3(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
+                         plan: UnivPlanV3, KeP: jnp.ndarray,
+                         compute_dtype=jnp.float32,
+                         interpret: bool = False) -> jnp.ndarray:
+    """K·vec(X) (orientation fixed by the plan): convenience wrapper around
+    the layout pipeline prep -> raw kernel -> unprep. For multi-layer use,
+    call `univ_v3_prep`/`univ_v3_prep_kp` once and chain
+    `assoc_matvec_univ_v3_raw` — the per-layer permute/transpose pair this
+    wrapper pays (~3.3 ms at n=600) disappears.
+
+    :param compute_dtype: dtype of the kernel gather/multiply path
+        (accumulation stays f32). bfloat16 halves the gather register
+        traffic at ~1e-3 relative error.
+    """
+    n1, n2, c = X.shape
+    assert n1 == plan.n1 and n2 == plan.n2
+    Xt = univ_v3_prep(X, plan, compute_dtype)
+    Kpt = univ_v3_prep_kp(Kp, plan)
+    Yt = assoc_matvec_univ_v3_raw(Xt, Kpt, Ke, plan, KeP,
+                                  interpret=interpret)
+    return univ_v3_unprep(Yt, plan)
