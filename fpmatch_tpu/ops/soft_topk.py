@@ -81,28 +81,35 @@ def soft_topk(scores: jnp.ndarray, k, n1, n2, *, tau: float = 1.0,
     log_col_prob = jnp.log(jnp.maximum(
         jnp.stack([total - k, k]), 1e-20))
 
-    def step(i, ls):
-        return jax.lax.cond(
-            (i % 2) == 0,
-            lambda x: _row_norm(x, valid),
-            lambda x: _col_norm(x, valid, log_col_prob),
-            ls,
-        )
+    # the row/col alternation parity is STATIC (iteration index), so the
+    # loop runs in (row; col) pair-steps with no per-iteration lax.cond —
+    # the cond form showed up as its own multi-ms entry in the traced train
+    # step (cond.202/cond.205, RESULTS.md round-4 trace)
+    def pair(_, ls):
+        return _col_norm(_row_norm(ls, valid), valid, log_col_prob)
 
-    log_s = jax.lax.fori_loop(0, max_iter, step, log_s)
+    log_s = jax.lax.fori_loop(0, max_iter // 2, pair, log_s)
+    if max_iter % 2:
+        log_s = _row_norm(log_s, valid)
+    odd_start = bool(max_iter % 2)
 
     # overshoot correction: keep alternating while any valid entry is > 0
-    def extra(i, ls):
+    def gate(ls, upd):
         overshoot = jnp.any(jnp.where(valid[..., None], ls, NEG_INF) > 0)
-        upd = jax.lax.cond(
-            ((max_iter + i) % 2) == 0,
-            lambda x: _row_norm(x, valid),
-            lambda x: _col_norm(x, valid, log_col_prob),
-            ls,
-        )
         return jnp.where(overshoot, upd, ls)
 
-    log_s = jax.lax.fori_loop(0, extra_iter, extra, log_s)
+    def extra_pair(_, ls):
+        first = (_col_norm(ls, valid, log_col_prob) if odd_start
+                 else _row_norm(ls, valid))
+        ls = gate(ls, first)
+        second = (_row_norm(ls, valid) if odd_start
+                  else _col_norm(ls, valid, log_col_prob))
+        return gate(ls, second)
+
+    log_s = jax.lax.fori_loop(0, extra_iter // 2, extra_pair, log_s)
+    if extra_iter % 2:
+        log_s = gate(log_s, _col_norm(log_s, valid, log_col_prob)
+                     if odd_start else _row_norm(log_s, valid))
 
     out = jnp.exp(log_s[..., 1])
     out = jnp.where(k > 0, out, 0.0)   # exact zero map when k == 0
