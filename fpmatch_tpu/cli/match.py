@@ -86,6 +86,11 @@ def main(argv=None):
     ap.add_argument("--node-taps", default="layer3")
     ap.add_argument("--cls-k-features", action="store_true")
     ap.add_argument("--hyperedge", action="store_true")
+    ap.add_argument("--univ-kernel", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="route the assoc-GNN aggregations through the v3 "
+                         "Pallas kernel (default: auto, on when "
+                         "--n-max >= 256)")
     args = ap.parse_args(argv)
 
     import jax
@@ -141,7 +146,21 @@ def main(argv=None):
     batch = collate([sample], cfg)
 
     # ---- model + checkpoint ------------------------------------------------
-    model = NGMNet(cfg)
+    univ_plan = None
+    if args.univ_kernel or (args.univ_kernel is None
+                            and cfg.shapes.n_max >= 256):
+        # UNIV-scale pairs route the 3 assoc-GNN aggregations through the
+        # v3 Pallas kernel (kernels/assoc_univ_v3.py — 1.2x/1.8x the
+        # chunked-XLA dispatch at n=600). Plan over the PADDED bucket: pad
+        # nodes get x=+inf-ish coords (sorted last), no edges, Kp/Ke = 0.
+        from ..kernels.assoc_univ_v3 import plan_univ_v3
+        N = cfg.shapes.n_max
+        pts2_pad = np.full((N, 2), 1e9, np.float32)
+        pts2_pad[:len(P2)] = P2
+        pts2_pad[len(P2):, 0] += np.arange(N - len(P2))  # stable sort order
+        univ_plan = plan_univ_v3(pts2_pad, s1, d1, s2, d2, transpose=True,
+                                 n1=N)
+    model = NGMNet(cfg, univ_plan=univ_plan)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):  # eager init stays off the tunnel
         variables = model.init(jax.random.PRNGKey(0),

@@ -130,7 +130,7 @@ def _auto_cap(deg: np.ndarray, spill_frac: float = 0.005) -> int:
 
 def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
                  transpose: bool = True, s1_cap: int = None,
-                 s2_cap: int = None) -> UnivPlanV3:
+                 s2_cap: int = None, n1: int = None) -> UnivPlanV3:
     """Build the padded-degree plan.
 
     :param pts2: (n2, 2) graph-2 node coordinates (spatial sort key). Graph 1
@@ -154,7 +154,8 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
         out1, in1 = src1, dst1
         out2, in2 = src2, dst2
     e1, e2 = len(out1), len(out2)
-    n1 = int(max(out1.max(), in1.max())) + 1 if e1 else 1
+    if n1 is None:   # in-model use passes the padded bucket size explicitly
+        n1 = int(max(out1.max(), in1.max())) + 1 if e1 else 1
     n2 = len(pts2)
 
     # spatial sort of graph-2 nodes (x-major) => banded in2-vs-out2
@@ -392,15 +393,19 @@ def _kernel(d1_ref,                      # SMEM (n1p, s1) int32
 
 def univ_v3_prep(X: jnp.ndarray, plan: UnivPlanV3,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
-    """(n1, n2, C) -> the kernel's sorted-transposed layout (n1p, C, n2p).
+    """(n1, n2, C) -> the kernel's sorted-transposed layout (n1p, Cp, n2p).
     One gather + one transpose; in a chained multi-layer model do this ONCE
     and keep the layout between layers (the kernel's output reshapes to
-    this layout for free)."""
+    this layout for free). The channel dim pads to a multiple of 8 — the
+    per-row DMA destination slice [i*C, (i+1)*C) must be sublane-aligned
+    (Mosaic memref_slice fault otherwise; hit by the model's C=1 first
+    GNN layer and C=17 later layers)."""
     p = plan
+    cp = _round_up(X.shape[-1], 8)
     Xs = X[:, p.perm2]
     return jnp.pad(jnp.transpose(Xs, (0, 2, 1)),
-                   ((0, p.n1p - p.n1), (0, 0), (0, p.n2p - p.n2))
-                   ).astype(compute_dtype)
+                   ((0, p.n1p - p.n1), (0, cp - X.shape[-1]),
+                    (0, p.n2p - p.n2))).astype(compute_dtype)
 
 
 def univ_v3_unprep(Yt: jnp.ndarray, plan: UnivPlanV3) -> jnp.ndarray:
@@ -427,6 +432,11 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
     p = plan
     n1p, c, n2p = Xt.shape
     t1 = n1p // I1_TILE
+    # no Mosaic on CPU backends: tests, CPU-mesh runs, and init-on-host
+    # (`with jax.default_device(cpu)`) interpret instead
+    dflt = jax.config.jax_default_device
+    interpret = (interpret or jax.default_backend() == "cpu"
+                 or (dflt is not None and dflt.platform == "cpu"))
 
     win_any = tuple(tuple(tuple(bool(v) for v in row)
                           for row in plane) for plane in p.win_any)
@@ -441,7 +451,7 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
         grid=(t1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),         # d1_slot
-            pl.BlockSpec(memory_space=pltpu.ANY),          # Xt (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # Xt (HBM)
             pl.BlockSpec((1, p.s1, p.s2, I1_TILE, p.n2p),
                          lambda i: (i, 0, 0, 0, 0)),       # KeP
             pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_idx
@@ -466,19 +476,22 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
     Yt = out.reshape(p.n1p, c, p.n2p)
     Yt = Yt + Kpt[:, None, :] * Xt.astype(jnp.float32)
 
-    # spilled edges, computed IN LAYOUT (sorted columns, channel-major)
+    # spilled edges, computed IN LAYOUT (sorted columns, channel-major).
+    # Ket may be padded wider than the plan's real edge lists (the model's
+    # static buckets); only the plan's rows/cols are read.
     inv2 = p.inv2
+    e1_real, e2_real = len(p.out1), len(p.out2)
     if len(p.spill1):
         sp = p.spill1
         rows = Xt[p.in1[sp]].astype(jnp.float32)          # (k1, C, n2p)
         in2s = inv2[p.in2]
         out2s = inv2[p.out2]
-        W = rows[:, :, in2s] * Ket[sp][:, None, :]        # (k1, C, E2)
+        W = rows[:, :, in2s] * Ket[sp, :e2_real][:, None, :]  # (k1, C, E2)
         T = jax.ops.segment_sum(jnp.swapaxes(W, 0, 2), out2s,
                                 num_segments=p.n2p)       # (n2p, C, k1)
         Yt = Yt.at[p.out1[sp]].add(jnp.swapaxes(T, 0, 2))
     if len(p.spill2):
-        keep1 = np.setdiff1d(np.arange(Ket.shape[0], dtype=np.int32),
+        keep1 = np.setdiff1d(np.arange(e1_real, dtype=np.int32),
                              p.spill1)
         f = p.spill2
         cols_in = inv2[p.in2[f]]
@@ -521,4 +534,4 @@ def assoc_matvec_univ_v3(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
     Kpt = univ_v3_prep_kp(Kp, plan)
     Yt = assoc_matvec_univ_v3_raw(Xt, Kpt, Ke, plan, KeP,
                                   interpret=interpret)
-    return univ_v3_unprep(Yt, plan)
+    return univ_v3_unprep(Yt, plan)[..., :c]   # drop channel padding

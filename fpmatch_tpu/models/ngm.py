@@ -98,6 +98,14 @@ class NGMNet(nn.Module):
     mesh: Optional[object] = None      # jax.sharding.Mesh (hashable, static)
     edge_axis: str = "edge"
     batch_axis: Optional[str] = None
+    # UNIV-scale single-pair serving: a kernels.assoc_univ_v3 UnivPlanV3
+    # (host metadata, trace-time constant). With batch==1 the 3 assoc-GNN
+    # aggregations run through the v3 Pallas kernel (KeP gathered once per
+    # forward, reused across layers) instead of the chunked-XLA dispatch —
+    # measured 1.2x (f32) / 1.8x (bf16 KeP) the chunked path at n=600.
+    # Per-pair plan => per-pair trace, the serving CLI's regime anyway.
+    univ_plan: Optional[object] = None
+    univ_bf16: bool = False
 
     @nn.compact
     def __call__(self, batch: PairBatch, train: bool = False,
@@ -255,7 +263,35 @@ class NGMNet(nn.Module):
         emb = Kp[..., None] if cfg.first_order else jnp.ones(
             (B, N, N, 1), Kp.dtype)
         kp_present = vmask.astype(Kp.dtype)
-        if batch.row_plan is not None:
+        if self.univ_plan is not None:
+            # ---- UNIV-scale single-pair serving path ----------------------
+            if B != 1:
+                raise ValueError("univ_plan is a single-pair path (B == 1)")
+            if cfg.hyperedge:
+                raise NotImplementedError("hyperedge + univ kernel")
+            from ..kernels.assoc_univ_v3 import (assoc_matvec_univ_v3,
+                                                 build_kep)
+            from ..ops.assoc import assoc_degree
+
+            plan = self.univ_plan
+            kdt = jnp.bfloat16 if self.univ_bf16 else jnp.float32
+            KeP = build_kep(Ke[0], plan, dtype=kdt)
+            deg = assoc_degree(kp_present[0], edge_mask[0, 0],
+                               edge_mask[0, 1], batch.src[0, 0],
+                               batch.dst[0, 0], batch.src[0, 1],
+                               batch.dst[0, 1], N, N, transpose=True)
+            deg = jnp.maximum(deg, 1.0)[None, ..., None]
+            for i in range(cfg.gnn_layers):
+                y = assoc_matvec_univ_v3(emb[0], Kp[0], Ke[0], plan, KeP,
+                                         compute_dtype=kdt)
+                agg = y[None] / deg
+                layer = AssocGNNLayerBatched(out_features=cfg.gnn_feat[i],
+                                             sk_channel=cfg.sk_emb,
+                                             sk_iter=cfg.sk_layer_iter,
+                                             sk_tau=cfg.sk_tau,
+                                             name=f"gnn_{i}")
+                emb = layer(emb, agg, kp_present, n1, n2)
+        elif batch.row_plan is not None:
             # ---- edge-sharded multi-chip path -----------------------------
             if self.mesh is None:
                 raise ValueError("batch.row_plan set but NGMNet has no mesh")

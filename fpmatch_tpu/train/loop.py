@@ -79,10 +79,24 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
     for epoch in range(stage.start_epoch, stage.num_epochs):
         t0 = time.time()
         stats = EpochStats()
+        n_steps = n_pairs = 0
+        t_first = None
         for _ in range(passes_per_epoch):
             for batch in train_loader:
                 state, metrics = train_step(state, batch)
+                # step-throughput instrumentation: sync on the first step's
+                # metrics so compile/dispatch pipelining doesn't pollute the
+                # steady-state window, then let the rest enqueue freely
+                if t_first is None:
+                    jax.block_until_ready(metrics["total_loss"])
+                    t_first = time.time()
+                else:
+                    n_steps += 1
+                    n_pairs += int(batch.batch_size)
                 stats.update(metrics)
+        if n_steps:
+            jax.block_until_ready(metrics["total_loss"])
+            train_secs = time.time() - t_first
         train_metrics = stats.get()
 
         vstats = EpochStats()
@@ -117,6 +131,10 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
         row = {"epoch": epoch, "time_s": time.time() - t0,
                **{f"train_{k}": v for k, v in train_metrics.items()},
                **{f"val_{k}": v for k, v in val_metrics.items()}}
+        if n_steps:
+            row["train_pairs_per_s"] = round(n_pairs / max(train_secs,
+                                                           1e-9), 2)
+            row["train_step_ms"] = round(1e3 * train_secs / n_steps, 1)
         history.append(row)
         if metrics_logger is not None:
             metrics_logger.log_scalars(
@@ -126,7 +144,10 @@ def train_stage(model: NGMNet, state: TrainState, stage: StageConfig,
                f"train_loss={train_metrics.get('total_loss', 0):.4f} "
                f"val_loss={val_loss:.4f} "
                f"acc={train_metrics.get('accuracy', 0):.4f} "
-               f"({row['time_s']:.1f}s)")
+               f"({row['time_s']:.1f}s"
+               + (f", {row['train_pairs_per_s']} pairs/s, "
+                  f"{row['train_step_ms']} ms/step" if n_steps else "")
+               + ")")
 
         if checkpoint_dir:
             save_checkpoint(checkpoint_dir, f"{stage.name}_last", state,

@@ -1,0 +1,81 @@
+"""Train-step scaling THROUGH THE CLI PATH on the virtual CPU mesh.
+
+The round-3 verdict (Weak #3) noted the >=80% 2-host scaling target rested
+on an op-level proxy; this drives the real `python -m fpmatch_tpu.cli.train`
+entry with `--n-devices` and reads the trainer's own per-epoch step
+throughput instrumentation (train/loop.py logs `pairs/s` over the
+steady-state window: first step excluded, final step synced).
+
+Global batch fixed at 8, so N devices each carry 8/N samples: the
+per-device work halves per doubling, so ideal DP throughput is N x the
+single-device pairs/s. Efficiency = measured speedup / N.
+
+The per-step compute must be flagship-shaped (n_max=64, e_max=384): at toy
+shapes the virtual-device collective overhead swamps the step and the
+ratio measures XLA-CPU rendezvous, not DP scaling. 8 virtual CPU devices
+timeshare 4 physical cores, so absolute times are meaningless and numbers
+beyond 4 devices are compute-starved; the signal is the ratio up to 4.
+
+Usage: python scripts/bench_cli_mesh_scaling.py
+"""
+import os
+import re
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from fpmatch_tpu.data.generator import generate_synthetic_dataset
+
+    tmp = tempfile.mkdtemp(prefix="mesh_scaling_")
+    root = os.path.join(tmp, "Synthetic")
+    generate_synthetic_dataset(root, fingers_per_split=(8, 8, 8),
+                               n_pores=40, seed=0, size=(320, 280))
+    common = ["--data-root", root, "--stages", "1", "--epochs", "1",
+              "--passes", "1", "--length", "64", "--batch-size", "8",
+              "--test-length", "8", "--n-max", "64", "--e-max", "384",
+              "--univ", "64", "--thread-workers"]
+
+    results = {}
+    for n_dev in (1, 2, 4):
+        # the image pins JAX_PLATFORMS=axon at interpreter startup and
+        # ignores the env var; force CPU through jax.config in a -c shim
+        shim = ("import jax, sys; "
+                "jax.config.update('jax_platforms', 'cpu'); "
+                "from fpmatch_tpu.cli.train import main; "
+                "main(sys.argv[1:])")
+        proc = subprocess.run(
+            [sys.executable, "-c", shim, *common,
+             "--n-devices", str(n_dev),
+             "--checkpoint-dir", os.path.join(tmp, f"c{n_dev}")],
+            capture_output=True, text=True, timeout=3600,
+            env=os.environ, cwd=str(Path(__file__).resolve().parent.parent))
+        m = re.findall(r"([\d.]+) pairs/s, ([\d.]+) ms/step", proc.stdout)
+        if not m:
+            print(f"n_devices={n_dev}: no throughput line; tail:\n"
+                  + proc.stdout[-800:] + proc.stderr[-800:])
+            return 1
+        pps, ms = float(m[-1][0]), float(m[-1][1])
+        results[n_dev] = pps
+        print(f"n_devices={n_dev}: {pps} pairs/s ({ms} ms/step)",
+              flush=True)
+    base = results[1]
+    for n_dev, pps in results.items():
+        print(f"n_devices={n_dev}: speedup {pps / base:.2f}x of ideal "
+              f"{n_dev}x -> DP efficiency {pps / base / n_dev:.2f}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

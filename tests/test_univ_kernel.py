@@ -135,3 +135,47 @@ def test_univ_v3_spill_capture(rng):
     got = assoc_matvec_univ_v3(X, Kp, Ke, plan, KeP, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ngm_forward_univ_kernel_path_matches_default():
+    """NGMNet(univ_plan=...) single-pair serving path (v3 kernel, interpret
+    on CPU) vs the default chunked/auto dispatch: same params, allclose."""
+    import dataclasses
+    from fpmatch_tpu.core.config import (BackboneConfig, Config, NGMConfig,
+                                         ShapeConfig)
+    from fpmatch_tpu.data.synthetic import synthetic_pair_batch
+    from fpmatch_tpu.kernels.assoc_univ_v3 import plan_univ_v3
+    from fpmatch_tpu.models.ngm import NGMNet
+
+    cfg = Config(
+        shapes=ShapeConfig(n_max=32, e_max=160, t_max=32, univ_size=24),
+        backbone=BackboneConfig(stem_channels=8,
+                                stage_channels=(8, 8, 16, 16),
+                                blocks_per_stage=1),
+        ngm=dataclasses.replace(
+            NGMConfig(), node_feature_dim=32, global_state_dim=32,
+            gnn_feat=(8, 8, 8), sk_iter=4, sk_layer_iter=4,
+            topk_extra_iter=2, afa_reg_hidden=4))
+    batch = synthetic_pair_batch(cfg, batch_size=1, n_range=(24, 30),
+                                 image_hw=(32, 48), seed=7)
+
+    model1 = NGMNet(cfg)
+    variables = model1.init(jax.random.PRNGKey(0), batch, train=False)
+    want = model1.apply(variables, batch, train=False)
+
+    N = cfg.shapes.n_max
+    pts2 = np.full((N, 2), 1e9, np.float32)
+    n2 = int(batch.n_nodes[0, 1])
+    pts2[:n2] = np.asarray(batch.points[0, 1, :n2])
+    pts2[n2:, 0] += np.arange(N - n2)
+    e1, e2 = int(batch.n_edges[0, 0]), int(batch.n_edges[0, 1])
+    plan = plan_univ_v3(pts2, np.asarray(batch.src[0, 0, :e1]),
+                        np.asarray(batch.dst[0, 0, :e1]),
+                        np.asarray(batch.src[0, 1, :e2]),
+                        np.asarray(batch.dst[0, 1, :e2]),
+                        transpose=True, n1=N)
+    model2 = NGMNet(cfg, univ_plan=plan)
+    got = model2.apply(variables, batch, train=False)
+    for k in ("ds_mat", "cls_prob", "k_prob", "raw_scores"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
