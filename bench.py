@@ -511,24 +511,40 @@ def run_stage(stage: str) -> dict:
                 with open(params_cache, "wb") as f:
                     f.write(fser.to_bytes(variables))
         variables = jax.device_put(variables, jax.devices()[0])
-        pairs_per_s = bench_forward(cfg, model, variables, batch)
-        note(f"forward: {pairs_per_s:.1f}")
-        train_pairs_per_s = bench_train_step(cfg, model, variables, batch)
-        note(f"train: {train_pairs_per_s:.1f}")
-        # (the bf16-backbone train variant was dropped from the driver path
-        # in round 4 — it cost ~1 min for a +6% curiosity and the driver
-        # window is the scarce resource; see logs/bench_tapform.log for the
-        # last measurement: 258.6 pairs/s vs 244.9 f32.)
+        # HEADLINE: the end-to-end bf16 mixed-precision path (round 5,
+        # NGMConfig.compute_dtype — f32 master params, f32 reductions;
+        # trained-model EER parity evidence in RESULTS.md round 5). The
+        # param tree is IDENTICAL to f32 (dtype is compute-only), so the
+        # same cached init serves both variants. f32 numbers stay in the
+        # record as secondary fields.
+        import dataclasses
+        cfg16 = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"),
+            ngm=dataclasses.replace(cfg.ngm, compute_dtype="bfloat16"))
+        model16 = NGMNet(cfg16)
+        pairs_per_s = bench_forward(cfg16, model16, variables, batch)
+        note(f"forward bf16: {pairs_per_s:.1f}")
+        train_pairs_per_s = bench_train_step(cfg16, model16, variables, batch)
+        note(f"train bf16: {train_pairs_per_s:.1f}")
+        f32_fwd = bench_forward(cfg, model, variables, batch)
+        note(f"forward f32: {f32_fwd:.1f}")
+        f32_train = bench_train_step(cfg, model, variables, batch)
+        note(f"train f32: {f32_train:.1f}")
         denom = TARGET_MULTIPLIER * REF_CPU_PAIRS_PER_S
         return {
             **health,
-            "metric": "matched pairs/s (end-to-end NGM forward, 1 chip)",
+            "metric": "matched pairs/s (end-to-end NGM forward, bf16 "
+                      "mixed precision, 1 chip)",
             "value": round(pairs_per_s, 2),
             "unit": "pairs/s",
             "vs_baseline": round(pairs_per_s / (denom * A100_CREDIT), 2),
             "vs_baseline_cred10x": round(pairs_per_s / (denom * 10.0), 2),
             "vs_baseline_cred50x": round(pairs_per_s / (denom * 50.0), 2),
             "train_step_pairs_per_s": round(train_pairs_per_s, 2),
+            "forward_f32_pairs_per_s": round(f32_fwd, 2),
+            "train_step_f32_pairs_per_s": round(f32_train, 2),
+            "vs_baseline_f32": round(f32_fwd / (denom * A100_CREDIT), 2),
             "batch_size": int(batch.batch_size),
             "device": str(jax.devices()[0]),
         }

@@ -30,4 +30,12 @@ def model_config_from_args(args):
     if getattr(args, "hyperedge", False):
         cfg = dataclasses.replace(
             cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
+    if getattr(args, "bf16", False):
+        # end-to-end mixed precision: backbone convs + the graph-side hot
+        # path in bf16, f32 master params, f32 reductions
+        # (NGMConfig.compute_dtype docstring)
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"),
+            ngm=dataclasses.replace(cfg.ngm, compute_dtype="bfloat16"))
     return cfg

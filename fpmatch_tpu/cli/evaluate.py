@@ -43,6 +43,15 @@ def main(argv=None):
                          "impostors it cuts EER ~8x vs the reference's "
                          "classifier-only score, see RESULTS.md); 'cls' = "
                          "reference-parity classifier probability")
+    ap.add_argument("--discretize", default="greedy",
+                    choices=["greedy", "hungarian"],
+                    help="match discretization: 'greedy' ranks the greedy "
+                         "fill by the soft-top-k map directly (device-only, "
+                         "the default); 'hungarian' reproduces the "
+                         "reference's full path (ngm.py:444-449) — host "
+                         "LAPJV on the soft-top-k map between jit segments, "
+                         "greedy fill ranked by hungarian*ds_mat. Costs a "
+                         "second forward per batch")
     ap.add_argument("--thread-workers", action="store_true",
                     help="thread loader workers instead of spawn processes")
     ap.add_argument("--node-taps", default="layer3",
@@ -55,6 +64,10 @@ def main(argv=None):
     ap.add_argument("--cls-k-features", action="store_true",
                     help="checkpoint was trained with k-statistic features "
                          "in the match classifier")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute in the backbone + graph-side hot "
+                         "path (f32 checkpoints load unchanged — params "
+                         "stay f32 masters)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -74,7 +87,7 @@ def main(argv=None):
     from ..models.ngm import NGMNet
     from ..train.checkpoints import read_meta, restore_params
     from ..train.state import create_state
-    from ..train.step import make_eval_step
+    from ..train.step import make_eval_step, make_eval_step_masked
 
     from . import model_config_from_args
     cfg = model_config_from_args(args)
@@ -118,6 +131,12 @@ def main(argv=None):
         log("WARNING: no checkpoint found — evaluating random weights")
 
     eval_step = make_eval_step(model, stage)
+    masked_step = None
+    if args.discretize == "hungarian":
+        from ..ops.hungarian import hungarian_host
+        masked_step = make_eval_step_masked(model, stage)
+        log("discretize=hungarian: host LAPJV between jit segments "
+            "(second forward per batch)")
     labels, scores, k_probs, n_mins = [], [], [], []
     viz_saved = 0
     n_batches = len(loader)
@@ -129,6 +148,11 @@ def main(argv=None):
             log(f"batch {bi}/{n_batches} ({rate:.2f} batches/s, "
                 f"eta {(n_batches - bi) / max(rate, 1e-9):.0f}s)")
         _, out = eval_step(state, batch)
+        if masked_step is not None:
+            mask = hungarian_host(np.asarray(out["ds_mat"]),
+                                  np.asarray(batch.n_nodes[:, 0]),
+                                  np.asarray(batch.n_nodes[:, 1]))
+            _, out = masked_step(state, batch, mask)
         labels.append(np.asarray(batch.label))
         scores.append(np.asarray(out["cls_prob"]))
         k_probs.append(np.asarray(out["k_prob"]))

@@ -75,6 +75,12 @@ def main(argv=None):
                     help="verification score: fused cls*k (default, 8x "
                          "lower sibling-impostor EER), reference-design "
                          "cls, or k alone")
+    ap.add_argument("--discretize", default="greedy",
+                    choices=["greedy", "hungarian"],
+                    help="'hungarian' reproduces the reference's full "
+                         "discretization (host LAPJV between jit segments, "
+                         "ngm.py:444-449); 'greedy' (default) ranks by the "
+                         "soft-top-k map directly")
     ap.add_argument("--threshold", type=float, default=None,
                     help="decision threshold; when set, the JSON carries "
                          "a genuine true/false verdict")
@@ -86,6 +92,9 @@ def main(argv=None):
     ap.add_argument("--node-taps", default="layer3")
     ap.add_argument("--cls-k-features", action="store_true")
     ap.add_argument("--hyperedge", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute path (f32 checkpoints load "
+                         "unchanged)")
     ap.add_argument("--univ-kernel", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="route the assoc-GNN aggregations through the v3 "
@@ -178,6 +187,14 @@ def main(argv=None):
               file=sys.stderr)
 
     _, out = make_eval_step(model, default_stages()[-1])(state, batch)
+    if args.discretize == "hungarian":
+        from ..ops.hungarian import hungarian_host
+        from ..train.step import make_eval_step_masked
+        mask = hungarian_host(np.asarray(out["ds_mat"]),
+                              np.asarray(batch.n_nodes[:, 0]),
+                              np.asarray(batch.n_nodes[:, 1]))
+        _, out = make_eval_step_masked(model, default_stages()[-1])(
+            state, batch, mask)
 
     cls_prob = float(np.asarray(out["cls_prob"])[0])
     k_prob = float(np.asarray(out["k_prob"])[0])

@@ -70,6 +70,10 @@ def main(argv=None):
     ap.add_argument("--length", type=int, default=None,
                     help="cap training pairs per epoch")
     ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--log-dir", default=None,
+                    help="write per-epoch metrics to <dir>/metrics.jsonl "
+                         "and TensorBoard event files (the reference logs "
+                         "TB scalars every iteration, train.py:62,339-347)")
     ap.add_argument("--init-from", default=None,
                     help="dir:name of a checkpoint to warm-start params from "
                          "(e.g. checkpoints/run1:stage6_last)")
@@ -110,6 +114,12 @@ def main(argv=None):
                     help="enable the third-order (triangle hyperedge) "
                          "association term — machinery the reference builds "
                          "but never turns on (its ngm.py:255)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="end-to-end bfloat16 mixed precision: backbone + "
+                         "graph-side hot path compute in bf16 with f32 "
+                         "master params and f32 reductions (Sinkhorn/"
+                         "soft-top-k/AFA-U/losses stay f32). No loss "
+                         "scaling needed — bf16 keeps f32's exponent range")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -146,6 +156,11 @@ def main(argv=None):
     if args.hyperedge:
         cfg = dataclasses.replace(
             cfg, ngm=dataclasses.replace(cfg.ngm, hyperedge=True))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"),
+            ngm=dataclasses.replace(cfg.ngm, compute_dtype="bfloat16"))
     # fingerprint scans are grayscale: ship luma only (3x less H2D)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, image_channels=1))
@@ -272,11 +287,21 @@ def main(argv=None):
             f"{kept}/{len(after)} param tensors restored "
             f"(shape-mismatched tensors keep their fresh init)")
 
-    state, history = run_curriculum(
-        model, variables, stages, loaders["train"], loaders["val"],
-        test_loader=loaders["test"], checkpoint_dir=args.checkpoint_dir,
-        passes_per_epoch=args.passes, log_fn=log,
-        numbered_checkpoints=args.numbered_checkpoints)
+    metrics_logger = None
+    if args.log_dir:
+        from ..utils.logging import MetricsLogger
+        metrics_logger = MetricsLogger(args.log_dir)
+        log(f"metrics → {args.log_dir}/metrics.jsonl (+ TensorBoard)")
+    try:
+        state, history = run_curriculum(
+            model, variables, stages, loaders["train"], loaders["val"],
+            test_loader=loaders["test"], checkpoint_dir=args.checkpoint_dir,
+            passes_per_epoch=args.passes, log_fn=log,
+            metrics_logger=metrics_logger,
+            numbered_checkpoints=args.numbered_checkpoints)
+    finally:
+        if metrics_logger is not None:
+            metrics_logger.close()
 
     report = evaluate_verification(model, state, stages[-1],
                                    loaders["test"])

@@ -103,6 +103,16 @@ class NGMConfig:
     # HBM as saved activations (the train step runs at ~4x its flop bound
     # without this); recompute is latency-bound and nearly free
     remat_sinkhorn: bool = True
+    # compute dtype of the graph-side hot path (spline conv, feature
+    # alignment, edge features, affinity einsums, assoc-GNN gathers and
+    # Dense layers): "bfloat16" doubles MXU throughput and halves the HBM
+    # traffic of the gather/scatter-heavy ops with f32 master params and
+    # f32 accumulation at every reduction (segment sums, normalizations).
+    # Sinkhorn / soft-top-k / AFA-U / losses always run f32 (log-space
+    # numerics; measured not the cost). bf16 keeps f32's exponent range, so
+    # no loss scaling is needed. Pair with backbone.dtype="bfloat16" for the
+    # full mixed-precision forward+backward (CLI: --bf16).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

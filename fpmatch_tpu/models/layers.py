@@ -60,10 +60,16 @@ class InnerProductAffinity(nn.Module):
 
     @nn.compact
     def __call__(self, X, Y, weights, mask=None):
-        """X: (..., n1, d), Y: (..., n2, d), weights: (..., gdim)."""
+        """X: (..., n1, d), Y: (..., n2, d), weights: (..., gdim).
+
+        Output is always f32 (it feeds Sinkhorn / the factorized K); with
+        bf16 X/Y the inner-product einsum runs on the MXU in bf16 with f32
+        accumulation."""
         coeff = jnp.tanh(nn.Dense(self.dim, name="A")(weights))
-        res = jnp.einsum("...id,...jd->...ij", X * coeff[..., None, :], Y)
-        res = jax.nn.softplus(res) - 0.5
+        res = jnp.einsum("...id,...jd->...ij",
+                         X * coeff[..., None, :].astype(X.dtype), Y,
+                         preferred_element_type=jnp.float32)
+        res = jax.nn.softplus(res.astype(jnp.float32)) - 0.5
         if mask is not None:
             res = res * mask
         return res
@@ -83,31 +89,40 @@ class AssocGNNLayer(nn.Module):
     sk_tau: float = 0.05
     hyperedge: bool = False
     remat_sk: bool = True
+    dtype: object = None     # compute dtype (None = f32); params stay f32
 
     @nn.compact
     def __call__(self, X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
                  kp_present, e1_mask, e2_mask, n1, n2,
                  Kt=None, tri1=None, tri2=None, t1_mask=None, t2_mask=None):
-        """X: (N1, N2, C_in) association node features (single pair)."""
-        agg = assoc_aggregate_mean(X, Kp, Ke, g1_src, g1_dst, g2_src, g2_dst,
-                                   kp_present, e1_mask, e2_mask,
+        """X: (N1, N2, C_in) association node features (single pair).
+
+        With dtype=bfloat16 the sparse aggregation's gathers and the Dense
+        layers run bf16 (f32 accumulation in the segment sums — see
+        ops.assoc.assoc_matvec); the embedded-Sinkhorn channel always runs
+        f32 (log-space numerics)."""
+        cdt = self.dtype or X.dtype
+        Xc = X.astype(cdt)
+        agg = assoc_aggregate_mean(Xc, Kp, Ke, g1_src, g1_dst, g2_src,
+                                   g2_dst, kp_present, e1_mask, e2_mask,
                                    transpose=True)
-        x1 = nn.Dense(self.out_features, name="lin_l")(agg)
+        x1 = nn.Dense(self.out_features, name="lin_l", dtype=cdt)(agg)
         x1 = x1 + nn.Dense(self.out_features, use_bias=False,
-                           name="lin_r")(X)
+                           name="lin_r", dtype=cdt)(Xc)
         if self.hyperedge:
             tdeg = assoc_tri_degree(t1_mask, t2_mask, tri1, tri2,
                                     X.shape[0], X.shape[1])
             tagg = assoc_tri_matvec(X, Kt, tri1, tri2) \
                 / jnp.maximum(tdeg, 1.0)[..., None]
             x1 = x1 + nn.Dense(self.out_features, use_bias=False,
-                               name="lin_t")(tagg)
-        h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
-        h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
+                               name="lin_t", dtype=cdt)(tagg)
+        h = nn.relu(nn.Dense(self.out_features, name="self0", dtype=cdt)(Xc))
+        h = nn.relu(nn.Dense(self.out_features, name="self1", dtype=cdt)(h))
         x1 = x1 + h
 
         if self.sk_channel:
-            sk_in = nn.Dense(self.sk_channel, name="classifier")(x1)
+            sk_in = nn.Dense(self.sk_channel, name="classifier",
+                             dtype=cdt)(x1)
 
             def sk_fn(x, a, b):
                 return sinkhorn(x, a, b, tau=self.sk_tau,
@@ -120,9 +135,11 @@ class AssocGNNLayer(nn.Module):
                 sk_fn = jax.checkpoint(sk_fn)
             chans = []
             for c in range(self.sk_channel):
-                chans.append(sk_fn(sk_in[..., c], n1, n2))
-            x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
-        return x1 * kp_present[..., None]
+                chans.append(sk_fn(sk_in[..., c].astype(jnp.float32),
+                                   n1, n2))
+            x1 = jnp.concatenate(
+                [x1, jnp.stack(chans, axis=-1).astype(x1.dtype)], axis=-1)
+        return x1 * kp_present[..., None].astype(x1.dtype)
 
 
 class AssocGNNLayerBatched(nn.Module):
@@ -139,20 +156,24 @@ class AssocGNNLayerBatched(nn.Module):
     sk_iter: int = 20
     sk_tau: float = 0.05
     remat_sk: bool = True
+    dtype: object = None     # compute dtype (None = f32); params stay f32
 
     @nn.compact
     def __call__(self, X, agg, kp_present, n1, n2):
         """X: (B, N1, N2, C_in); agg: (B, N1, N2, C_in) mean-aggregated
         Kᵀ·vec(X); kp_present: (B, N1, N2); n1, n2: (B,)."""
-        x1 = nn.Dense(self.out_features, name="lin_l")(agg)
+        cdt = self.dtype or X.dtype
+        Xc = X.astype(cdt)
+        x1 = nn.Dense(self.out_features, name="lin_l", dtype=cdt)(agg)
         x1 = x1 + nn.Dense(self.out_features, use_bias=False,
-                           name="lin_r")(X)
-        h = nn.relu(nn.Dense(self.out_features, name="self0")(X))
-        h = nn.relu(nn.Dense(self.out_features, name="self1")(h))
+                           name="lin_r", dtype=cdt)(Xc)
+        h = nn.relu(nn.Dense(self.out_features, name="self0", dtype=cdt)(Xc))
+        h = nn.relu(nn.Dense(self.out_features, name="self1", dtype=cdt)(h))
         x1 = x1 + h
 
         if self.sk_channel:
-            sk_in = nn.Dense(self.sk_channel, name="classifier")(x1)
+            sk_in = nn.Dense(self.sk_channel, name="classifier",
+                             dtype=cdt)(x1)
 
             def sk_fn(x, a, b):
                 return sinkhorn_batch(x, a, b, tau=self.sk_tau,
@@ -160,10 +181,11 @@ class AssocGNNLayerBatched(nn.Module):
 
             if self.remat_sk:
                 sk_fn = jax.checkpoint(sk_fn)
-            chans = [sk_fn(sk_in[..., c], n1, n2)
+            chans = [sk_fn(sk_in[..., c].astype(jnp.float32), n1, n2)
                      for c in range(self.sk_channel)]
-            x1 = jnp.concatenate([x1, jnp.stack(chans, axis=-1)], axis=-1)
-        return x1 * kp_present[..., None]
+            x1 = jnp.concatenate(
+                [x1, jnp.stack(chans, axis=-1).astype(x1.dtype)], axis=-1)
+        return x1 * kp_present[..., None].astype(x1.dtype)
 
 
 class MaskedBatchNorm(nn.Module):

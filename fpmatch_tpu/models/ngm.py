@@ -15,10 +15,15 @@ noted):
     the reference's column-major vec bookkeeping disappears;
   * K is never materialized — the assoc-GNN consumes the factor form
     (Kp, Ke, incidence edge lists) via gather/segment-sum;
-  * Hungarian runs on host between jit segments when requested
-    (`use_hungarian`); the default device path ranks by the soft-top-k output
-    directly, since the discretized matrix is a stop-gradient mask either way
-    (the axon TPU runtime does not support host callbacks inside jit).
+  * Hungarian runs on host between jit segments when requested: a first
+    forward yields the soft-top-k map (`ds_mat`), the host LAPJV solves it,
+    and a second forward passes the 0/1 result back through the
+    `hungarian_mask` argument of `__call__` (reference: ngm.py:444 ranks the
+    greedy fill by hungarian(ss_out)·ss_out). The evaluate/match CLIs expose
+    this as `--discretize hungarian`; the default device path ranks by the
+    soft-top-k output directly, since the discretized matrix is a
+    stop-gradient mask either way (the axon TPU runtime does not support
+    host callbacks inside jit).
 """
 from __future__ import annotations
 
@@ -122,6 +127,12 @@ class NGMNet(nn.Module):
         bn_main = train if bn_main is None else bn_main
         bn_cls = train if bn_cls is None else bn_cls
         cfg = self.cfg.ngm
+        # graph-side compute dtype (NGMConfig.compute_dtype): bf16 runs the
+        # spline conv, feature alignment, edge features, affinity einsums
+        # and assoc-GNN in bf16 with f32 masters + f32 reductions; Sinkhorn
+        # / soft-top-k / AFA-U / classifier/losses always f32
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
         shapes = self.cfg.shapes
         B, two, H, W, _ = batch.images.shape
         N = batch.points.shape[2]
@@ -184,10 +195,12 @@ class NGMNet(nn.Module):
                 node_maps = [nodes]
             else:
                 raise ValueError(f"unknown backbone kind: {kind!r}")
-            node_maps = [normalize_over_channels(m.astype(jnp.float32))
-                         for m in node_maps]
+            # channel-normalize with f32 accumulation, then drop to the
+            # compute dtype for alignment + everything graph-side
+            node_maps = [normalize_over_channels(
+                m.astype(jnp.float32)).astype(cdt) for m in node_maps]
             edges_map = normalize_over_channels(
-                edges_map.astype(jnp.float32))
+                edges_map.astype(jnp.float32)).astype(cdt)
             global_feat = global_feat.astype(jnp.float32)
 
             # ---- bilinear alignment at keypoints -------------------------
@@ -197,7 +210,7 @@ class NGMNet(nn.Module):
                 f, p, self.cfg.data.rescale))(edges_map, pts)
             node_feat = jnp.concatenate(aligned + [F], axis=-1)
 
-        node_feat = node_feat * node_mask[..., None]
+        node_feat = node_feat.astype(cdt) * node_mask[..., None]
 
         # ---- spline-conv message passing per graph -----------------------
         src = batch.src.reshape(B * 2, E)
@@ -245,9 +258,11 @@ class NGMNet(nn.Module):
             tri_flat = batch.tri.reshape(B * 2, T, 3)
             tri_mask = (jnp.arange(T)[None, :]
                         < batch.n_tris.reshape(B * 2)[:, None])
+            # angle cosines in f32: tiny op, and the safe-norm rsqrt at the
+            # padded-slot zeros is precision-sensitive
             tri_attr = jax.vmap(hyperedge_angle_attrs)(
-                x.reshape(B * 2, N, -1), tri_flat,
-                tri_mask.astype(x.dtype))
+                x.reshape(B * 2, N, -1).astype(jnp.float32), tri_flat,
+                tri_mask.astype(jnp.float32))
             tri_attr = tri_attr.reshape(B, 2, T, 3)
             tri_mask = tri_mask.reshape(B, 2, T)
             tmask = tri_mask[:, 0, :, None] & tri_mask[:, 1, None, :]
@@ -289,6 +304,7 @@ class NGMNet(nn.Module):
                                              sk_channel=cfg.sk_emb,
                                              sk_iter=cfg.sk_layer_iter,
                                              sk_tau=cfg.sk_tau,
+                                             dtype=cdt,
                                              name=f"gnn_{i}")
                 emb = layer(emb, agg, kp_present, n1, n2)
         elif batch.row_plan is not None:
@@ -318,6 +334,7 @@ class NGMNet(nn.Module):
                                              sk_channel=cfg.sk_emb,
                                              sk_iter=cfg.sk_layer_iter,
                                              sk_tau=cfg.sk_tau,
+                                             dtype=cdt,
                                              name=f"gnn_{i}")
                 emb = layer(emb, agg, kp_present, n1, n2)
         else:
@@ -328,6 +345,7 @@ class NGMNet(nn.Module):
                                  sk_iter=cfg.sk_layer_iter,
                                  sk_tau=cfg.sk_tau,
                                  hyperedge=cfg.hyperedge,
+                                 dtype=cdt,
                                  name=f"gnn_{i}")
                 emb = layer(emb, Kp, Ke, batch.src[:, 0], batch.dst[:, 0],
                             batch.src[:, 1], batch.dst[:, 1], kp_present,

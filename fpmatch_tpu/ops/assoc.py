@@ -61,13 +61,17 @@ def assoc_matvec(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
     if transpose:
         src1, dst1 = dst1, src1
         src2, dst2 = dst2, src2
-    # gather: W[e1, e2, c] = X[dst1[e1], dst2[e2], c]
+    # gather: W[e1, e2, c] = X[dst1[e1], dst2[e2], c]. dtype-generic: with
+    # bfloat16 X the gathers and the Ke multiply (the HBM-dominant work) run
+    # in bf16, while both segment-sums accumulate f32 (the converts fuse
+    # into the scatter producers) and the result is always f32.
     W = X[dst1][:, dst2]                      # (E1, E2, C)
-    W = W * Ke[..., None]
+    W = W * Ke[..., None].astype(W.dtype)
     # scatter-add, separable: over e2 into src2 then e1 into src1
-    T = _segment_sum(jnp.swapaxes(W, 0, 1), src2, n2)      # (N2, E1, C)
+    T = _segment_sum(jnp.swapaxes(W, 0, 1).astype(jnp.float32),
+                     src2, n2)                             # (N2, E1, C)
     Y = _segment_sum(jnp.swapaxes(T, 0, 1), src1, n1)      # (N1, N2, C)
-    return Y + Kp[..., None] * X
+    return Y + Kp[..., None] * X.astype(jnp.float32)
 
 
 def assoc_matvec_fused(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
@@ -123,12 +127,14 @@ def assoc_matvec_chunked(X: jnp.ndarray, Kp: jnp.ndarray, Ke: jnp.ndarray,
 
     def body(carry, sl):
         ke, d1c, s1c = sl
-        W = X[d1c][:, dst2] * ke[..., None]              # (chunk, E2, C)
-        T = _segment_sum(jnp.swapaxes(W, 0, 1), src2, n2)  # (N2, chunk, C)
+        W = X[d1c][:, dst2]                              # (chunk, E2, C)
+        W = W * ke[..., None].astype(W.dtype)
+        T = _segment_sum(jnp.swapaxes(W, 0, 1).astype(jnp.float32),
+                         src2, n2)                       # (N2, chunk, C)
         Y = _segment_sum(jnp.swapaxes(T, 0, 1), s1c, n1)   # (N1, N2, C)
         return carry + Y, None
 
-    Y0 = Kp[..., None] * X
+    Y0 = Kp[..., None] * X.astype(jnp.float32)
     Y, _ = jax.lax.scan(body, Y0, (Kec, d1, s1))
     return Y
 

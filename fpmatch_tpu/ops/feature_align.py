@@ -51,10 +51,12 @@ def feature_align(feat: jnp.ndarray, points: jnp.ndarray,
     yc = jnp.clip(y, 0.0, h_f - 1.0)
     wx1 = xc - x0
     wy1 = yc - y0
-    wa = ((1 - wx1) * (1 - wy1))[:, None]
-    wb = ((1 - wx1) * wy1)[:, None]
-    wc = (wx1 * (1 - wy1))[:, None]
-    wd = (wx1 * wy1)[:, None]
+    # dtype-preserving: bf16 feature maps stay bf16 through the blend (the
+    # interpolation weights are computed f32 from the coordinates, then cast)
+    wa = ((1 - wx1) * (1 - wy1))[:, None].astype(feat.dtype)
+    wb = ((1 - wx1) * wy1)[:, None].astype(feat.dtype)
+    wc = (wx1 * (1 - wy1))[:, None].astype(feat.dtype)
+    wd = (wx1 * wy1)[:, None].astype(feat.dtype)
     return Ia * wa + Ib * wb + Ic * wc + Id * wd
 
 

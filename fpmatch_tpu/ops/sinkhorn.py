@@ -59,23 +59,39 @@ def sinkhorn(s: jnp.ndarray, n1, n2, *, tau: float = 1.0, max_iter: int = 10,
     else:
         region = valid
 
-    # (row; col) pair-steps with the orientation resolved by a select, not
-    # a per-iteration lax.cond: the orientation is data-dependent
-    # (orient_rows), so both axis norms (two cheap masked logsumexps) are
-    # computed and selected — the branch-free form of the pathology the
-    # round-4 trace exposed in soft_topk (there: -3.5 ms/train-step; here
-    # measured neutral at bucket shapes, kept for the uniform structure)
-    def half(ls, even):
-        axis1 = _normalize(ls, region, axis=1)
-        axis0 = _normalize(ls, region, axis=0)
-        return jnp.where(even == orient_rows, axis1, axis0)
+    # The orientation (which axis the even step normalizes) is data-dependent
+    # (orient_rows = n1 <= n2), and per-iteration lax.cond was the pathology
+    # the round-4 trace exposed in soft_topk. A single hoisted cond would
+    # still run BOTH branches under vmap (batched predicate => select of both
+    # loops). Instead, on the square buckets every caller uses (S1 == S2),
+    # transpose the flipped problems up front, always run the row-first loop
+    # with ONE masked logsumexp per half-step, and transpose back — two
+    # selects + transposes per call instead of doubling every normalization.
+    if s1 == s2:
+        flip = ~orient_rows
+        ls = jnp.where(flip, log_s.T, log_s)
+        reg = jnp.where(flip, region.T, region)
 
-    def pair(_, ls):
-        return half(half(ls, True), False)
+        def pair(_, x):
+            return _normalize(_normalize(x, reg, axis=1), reg, axis=0)
 
-    log_s = jax.lax.fori_loop(0, max_iter // 2, pair, log_s)
-    if max_iter % 2:
-        log_s = half(log_s, True)
+        ls = jax.lax.fori_loop(0, max_iter // 2, pair, ls)
+        if max_iter % 2:
+            ls = _normalize(ls, reg, axis=1)
+        log_s = jnp.where(flip, ls.T, ls)
+    else:
+        # rectangular pad: branch-free dual form (both axis norms + select)
+        def half(ls, even):
+            axis1 = _normalize(ls, region, axis=1)
+            axis0 = _normalize(ls, region, axis=0)
+            return jnp.where(even == orient_rows, axis1, axis0)
+
+        def pair(_, ls):
+            return half(half(ls, True), False)
+
+        log_s = jax.lax.fori_loop(0, max_iter // 2, pair, log_s)
+        if max_iter % 2:
+            log_s = half(log_s, True)
     return jnp.where(valid, jnp.exp(log_s), 0.0)
 
 

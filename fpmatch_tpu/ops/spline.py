@@ -79,6 +79,12 @@ def spline_conv(x: jnp.ndarray, src, dst, edge_attr: jnp.ndarray,
     # gather 1.9 GFLOP but 29 MB/graph of gathered intermediate (3.45 ms,
     # HBM-bound); this form keeps the 1.9 GFLOP and moves only
     # 4·E·C_out gathered rows (≈4.7 MB/graph).
+    # mixed precision: compute in x's dtype (bf16 halves the MXU time of the
+    # node-side projection and the HBM traffic of the tap gathers + their
+    # backward scatters); params are cast down at use, f32 masters upstream
+    weight = weight.astype(x.dtype)
+    root_weight = root_weight.astype(x.dtype)
+    bias = bias.astype(x.dtype)
     if edge_attr.shape[1] == 2:
         m = kernel_size - 1
         p = jnp.clip(edge_attr, 0.0, 1.0) * m             # (E, 2)
@@ -97,10 +103,11 @@ def spline_conv(x: jnp.ndarray, src, dst, edge_attr: jnp.ndarray,
                 # kernel-bank order, and the first tap-form cut flipped it
                 # (caught by review: transposed-weight outputs, 2026-08-19)
                 cell = kernel_size * (k0[:, 0] + a) + (k0[:, 1] + b)
-                w_e = wa * wb * edge_mask
+                w_e = (wa * wb * edge_mask).astype(x.dtype)
                 msg = msg + w_e[:, None] * table[base + cell]
     else:  # general-D fallback: dense basis contraction
-        basis = spline_basis(edge_attr, kernel_size) * edge_mask[:, None]
+        basis = (spline_basis(edge_attr, kernel_size)
+                 * edge_mask[:, None]).astype(x.dtype)
         xs = x[src]
         msg = jnp.einsum("es,ei,sio->eo", basis, xs, weight)
 

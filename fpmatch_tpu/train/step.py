@@ -23,8 +23,11 @@ from .state import TrainState, make_optimizer
 
 
 def loss_and_metrics(model: NGMNet, params, batch_stats, batch: PairBatch,
-                     stage: StageConfig, train: bool):
+                     stage: StageConfig, train: bool,
+                     hungarian_mask=None):
     variables = {"params": params, "batch_stats": batch_stats}
+    extra_kw = {} if hungarian_mask is None else \
+        {"hungarian_mask": hungarian_mask}
     if train:
         bn_kw = {}
         if model.cfg.train.bn_follows_trainability:
@@ -33,13 +36,14 @@ def loss_and_metrics(model: NGMNet, params, batch_stats, batch: PairBatch,
             # and no stats drift under frozen convs
             bn_kw = dict(bn_main=stage.train_main, bn_cls=stage.train_cls)
         out, mutated = model.apply(variables, batch, train=True,
-                                   mutable=["batch_stats"], **bn_kw)
+                                   mutable=["batch_stats"], **bn_kw,
+                                   **extra_kw)
         # eval-mode BN only reads its stats — the mutated collection can be
         # partial (or empty) when some partitions' BN ran frozen
         mut = mutated.get("batch_stats", {})
         new_stats = {**batch_stats, **mut} if mut else batch_stats
     else:
-        out = model.apply(variables, batch, train=False)
+        out = model.apply(variables, batch, train=False, **extra_kw)
         new_stats = batch_stats
 
     n1 = batch.n_nodes[:, 0]
@@ -139,6 +143,26 @@ def make_eval_step(model: NGMNet, stage: StageConfig):
     def eval_step(state: TrainState, batch: PairBatch):
         _, (metrics, _, out) = loss_and_metrics(
             model, state.params, state.batch_stats, batch, stage, train=False)
+        return metrics, {"cls_prob": out["cls_prob"],
+                         "k_prob": out["k_prob"],
+                         "perm_mat": out["perm_mat"],
+                         "ds_mat": out["ds_mat"]}
+
+    return eval_step
+
+
+def make_eval_step_masked(model: NGMNet, stage: StageConfig):
+    """Eval step whose greedy fill ranks by `hungarian_mask * ds_mat`
+    (reference ngm.py:444-449): the second jit segment of the host-Hungarian
+    discretization round-trip. The mask comes from ops.hungarian.hungarian_host
+    run on the first segment's `ds_mat` (the axon TPU runtime rejects host
+    callbacks inside jit, so the solve lives between segments)."""
+
+    @partial(jax.jit, **_jit_kwargs())
+    def eval_step(state: TrainState, batch: PairBatch, hungarian_mask):
+        _, (metrics, _, out) = loss_and_metrics(
+            model, state.params, state.batch_stats, batch, stage,
+            train=False, hungarian_mask=hungarian_mask)
         return metrics, {"cls_prob": out["cls_prob"],
                          "k_prob": out["k_prob"],
                          "perm_mat": out["perm_mat"],

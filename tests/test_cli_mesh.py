@@ -34,7 +34,8 @@ def test_cli_train_mesh_matches_single_device(tmp_path):
               "--passes", "1", "--length", "4", "--batch-size", "2",
               "--test-length", "4", "--n-max", "16", "--e-max", "96",
               "--univ", "24", "--thread-workers"]
-    r_single = train_main(common + ["--checkpoint-dir", str(tmp_path / "c1")])
+    r_single = train_main(common + ["--checkpoint-dir", str(tmp_path / "c1"),
+                                    "--log-dir", str(tmp_path / "tb")])
     r_mesh = train_main(common + ["--n-devices", "2",
                                   "--checkpoint-dir", str(tmp_path / "c2")])
     assert np.isfinite(r_mesh["loss"]) and np.isfinite(r_mesh["total_loss"])
@@ -42,3 +43,8 @@ def test_cli_train_mesh_matches_single_device(tmp_path):
     # cross-device reduction order
     np.testing.assert_allclose(r_mesh["loss"], r_single["loss"], rtol=2e-3)
     np.testing.assert_allclose(r_mesh["accuracy"], r_single["accuracy"])
+    # --log-dir produced observability artifacts through the real CLI path
+    import json
+    rows = [json.loads(l) for l in
+            (tmp_path / "tb" / "metrics.jsonl").read_text().splitlines()]
+    assert rows and any("stage1/val_total_loss" in r for r in rows)

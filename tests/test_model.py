@@ -253,3 +253,95 @@ def test_stride8_multitap_pathway():
     assert out["cls_prob"].shape == (batch.batch_size,)
     assert np.isfinite(np.asarray(out["raw_scores"])).all()
     assert np.isfinite(np.asarray(out["k_prob"])).all()
+
+
+def test_bf16_compute_path_matches_f32():
+    """NGMConfig.compute_dtype='bfloat16' (+ bf16 backbone): identical f32
+    params, same forward within bf16 rounding class; gradients of the bf16
+    train path are finite and co-directional with f32 (mixed precision with
+    f32 masters — no loss scaling, bf16 keeps f32's exponent range)."""
+    import dataclasses
+
+    from fpmatch_tpu.core.config import default_stages
+    from fpmatch_tpu.train.state import create_state
+    from fpmatch_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(11)
+    cfg32 = tiny_config()
+    # flagship tau=0.01 exponentiates score noise 100x (exp(eps/tau)): at
+    # RANDOM init that turns any precision comparison into softmax chaos.
+    # tau=0.5 in BOTH models makes random-init parity meaningful; the
+    # flagship-tau quality gate is the trained-model EER A/B (RESULTS.md).
+    cfg32 = cfg32.replace(
+        ngm=dataclasses.replace(cfg32.ngm, sk_tau=0.5))
+    cfg16 = cfg32.replace(
+        backbone=dataclasses.replace(cfg32.backbone, dtype="bfloat16"),
+        ngm=dataclasses.replace(cfg32.ngm, compute_dtype="bfloat16"))
+    batch = make_batch(rng)
+
+    m32, m16 = NGMNet(cfg32), NGMNet(cfg16)
+    variables = m32.init(jax.random.PRNGKey(0), batch, train=False)
+    # param trees are identical (dtype is compute-only, not a param change)
+    v16 = m16.init(jax.random.PRNGKey(0), batch, train=False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v16)
+    assert all(a.dtype == b.dtype == jnp.float32
+               for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                               jax.tree_util.tree_leaves(v16["params"])))
+
+    out32 = m32.apply(variables, batch, train=False)
+    out16 = m16.apply(variables, batch, train=False)
+    # k_prob only gets a loose band: AFA-U's score-mixing MLP initializes
+    # uniform(-10, 10) (reference afau.py parity), so at RANDOM init its
+    # attention softmax amplifies the Sinkhorn chain's legitimate bf16
+    # noise ~300x (measured: ss maxabs 3.6e-4 -> k_prob 0.13). A trained
+    # model is the real gate (EER A/B in RESULTS.md).
+    np.testing.assert_allclose(np.asarray(out16["k_prob"]),
+                               np.asarray(out32["k_prob"]),
+                               atol=0.2, err_msg="k_prob")
+    np.testing.assert_allclose(np.asarray(out16["cls_prob"]),
+                               np.asarray(out32["cls_prob"]),
+                               atol=5e-2, err_msg="cls_prob")
+    ds16 = np.asarray(out16["ds_mat"]).ravel()
+    ds32 = np.asarray(out32["ds_mat"]).ravel()
+    assert np.isfinite(ds16).all()
+    assert ds16.min() >= 0.0 and ds16.max() <= 1.0 + 1e-4
+    # ds_mat inherits the k_prob shift (k sets the top-k column marginal),
+    # so its band follows the AFA-U random-init amplification above
+    assert np.abs(ds16 - ds32).mean() < 2e-2
+
+    # one train step in each precision: finite loss, co-directional updates
+    stage = default_stages()[2]
+    p0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s32 = create_state(jax.tree_util.tree_map(jnp.copy, variables), stage)
+    s16 = create_state(jax.tree_util.tree_map(jnp.copy, variables), stage)
+    n32, met32 = make_train_step(m32, stage)(s32, batch)
+    n16, met16 = make_train_step(m16, stage)(s16, batch)
+    assert np.isfinite(float(met16["total_loss"]))
+    # the perm loss is -log of top-k probabilities — at random init the
+    # forward's legitimate bf16 noise moves it ~20%
+    np.testing.assert_allclose(float(met16["total_loss"]),
+                               float(met32["total_loss"]), rtol=0.35)
+    # update direction agreement on the partitions UPSTREAM of the chaotic
+    # tau-Sinkhorn amplifiers (measured at random init: backbone 0.83,
+    # vertex_aff 0.88, edge_aff 0.86 — while the tiny downstream partitions
+    # (gnn_*/classifier) see genuinely different forwards and decorrelate;
+    # the bf16 TRAINING gate is the full-run EER A/B in RESULTS.md).
+    # Every partition's update magnitude must also stay in band.
+    for name in sorted(p0):
+        d32 = np.concatenate(
+            [np.ravel(np.asarray(a) - b) for a, b in zip(
+                jax.tree_util.tree_leaves(n32.params[name]),
+                jax.tree_util.tree_leaves(p0[name]))])
+        d16 = np.concatenate(
+            [np.ravel(np.asarray(a) - b) for a, b in zip(
+                jax.tree_util.tree_leaves(n16.params[name]),
+                jax.tree_util.tree_leaves(p0[name]))])
+        assert np.isfinite(d16).all(), name
+        if np.linalg.norm(d32) > 0:
+            ratio = np.linalg.norm(d16) / np.linalg.norm(d32)
+            assert 0.3 < ratio < 3.0, (name, ratio)
+        if name in ("backbone", "vertex_aff", "edge_aff"):
+            denom = np.linalg.norm(d32) * np.linalg.norm(d16)
+            assert denom > 0
+            assert float(d32 @ d16) / denom > 0.5, name

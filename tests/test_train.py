@@ -137,6 +137,48 @@ def test_eval_step_and_lr_update(model_batch_vars):
     assert get_learning_rates(new_opt)["k"] == lrs["k"]
 
 
+def test_eval_step_hungarian_mask_round_trip(model_batch_vars):
+    """The --discretize hungarian path: host LAPJV on the first segment's
+    ds_mat, second segment ranks the greedy fill by mask * ds_mat
+    (reference ngm.py:444-449). The discretized perm must select only
+    Hungarian-approved cells, and scores must stay finite."""
+    from fpmatch_tpu.ops.hungarian import hungarian_host
+    from fpmatch_tpu.train.step import make_eval_step_masked
+
+    cfg, batch, model, variables = model_batch_vars
+    stage = default_stages()[2]
+    state = create_state(variables, stage)
+    _, out = make_eval_step(model, stage)(state, batch)
+    mask = hungarian_host(np.asarray(out["ds_mat"]),
+                          np.asarray(batch.n_nodes[:, 0]),
+                          np.asarray(batch.n_nodes[:, 1]))
+    # a valid assignment: one per row/col on the valid block
+    assert mask.shape == out["ds_mat"].shape
+    assert (mask.sum(axis=2) <= 1).all() and (mask.sum(axis=1) <= 1).all()
+    _, out2 = make_eval_step_masked(model, stage)(state, batch, mask)
+    perm = np.asarray(out2["perm_mat"])
+    assert ((perm == 1) <= (mask == 1)).all()  # only approved cells selected
+    assert np.isfinite(np.asarray(out2["cls_prob"])).all()
+
+
+def test_metrics_logger_writes_jsonl(tmp_path):
+    """MetricsLogger (wired behind cli/train.py --log-dir) writes greppable
+    JSONL rows — the reference's per-iteration TB scalars equivalent."""
+    import json
+    from fpmatch_tpu.utils.logging import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    ml.log_scalars(0, {"total_loss": 1.5, "accuracy": 0.25},
+                   prefix="stage1/")
+    ml.log_scalars(1, {"total_loss": 1.2}, prefix="stage1/")
+    ml.close()
+    rows = [json.loads(l) for l in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 2
+    assert rows[0]["stage1/total_loss"] == 1.5
+    assert rows[0]["step"] == 0 and rows[1]["step"] == 1
+
+
 def test_warmup_plateau():
     sched = WarmupPlateau({"main": 1e-3}, warmup_epochs=2, patience=1,
                           factor=0.5)
