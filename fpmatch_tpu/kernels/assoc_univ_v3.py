@@ -93,9 +93,19 @@ class UnivPlanV3(NamedTuple):
     n2: int
     n1p: int            # n1 padded to I1_TILE
     n2p: int            # n2 padded to LANE
-    s1: int             # graph-1 slots per output row
+    s1: int             # graph-1 slots per output row (global cap)
     s2: int             # graph-2 slots per output column
     transpose: bool
+    # degree-class row grouping: graph-1 nodes are sorted by out-degree
+    # (ascending) and the row-tile grid is split into <= 3 contiguous
+    # groups, each run as its own pallas_call with only s1_g slot planes —
+    # low-degree tiles stop paying the global cap's padded planes (the
+    # measured ~2.3x slot-inflation's s1 share). (t0, t1, s1_g) in tiles;
+    # s1_g == 0 groups (zero-degree rows, e.g. bucket padding) skip the
+    # kernel outright.
+    perm1: np.ndarray   # (n1,) sorted-row -> original-row
+    inv1: np.ndarray    # (n1,) original-row -> sorted-row
+    groups: tuple       # ((t0, t1, s1_g), ...)
     perm2: np.ndarray   # (n2,) sorted-col -> original-col
     inv2: np.ndarray    # (n2,) original-col -> sorted-col
     d1_slot: np.ndarray  # (n1p, s1) int32 in1 row per slot (pad: 0)
@@ -121,11 +131,15 @@ def _auto_cap(deg: np.ndarray, spill_frac: float = 0.005) -> int:
     degree are pure masked work in the kernel (measured sweep at n=600:
     cap 9 beats the max-degree 11 by ~7%, cap <= 8 loses to XLA spill
     cost — logs/univ3_sweep.log)."""
+    # clamped to >= 1: a zero-edge side (1-2 keypoints, no Delaunay edges —
+    # reachable from cli/match.py, which only rejects zero-keypoint images)
+    # would otherwise make s1/s2 = 0 and the kernel would index a zero-width
+    # slot table at trace time
     total = max(int(deg.sum()), 1)
     for s in range(1, int(deg.max()) + 1):
         if np.maximum(deg - s, 0).sum() <= spill_frac * total:
             return s
-    return int(deg.max())
+    return max(1, int(deg.max()))
 
 
 def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
@@ -162,6 +176,16 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
     perm2 = np.argsort(pts2[:, 0], kind="stable").astype(np.int32)
     inv2 = np.empty_like(perm2)
     inv2[perm2] = np.arange(n2, dtype=np.int32)
+
+    # degree sort of graph-1 nodes (rows need no spatial order — each row's
+    # inputs are DMA-gathered individually), so low-degree tiles can run
+    # with fewer slot planes (see UnivPlanV3.groups)
+    deg1_orig = np.bincount(out1, minlength=n1)
+    perm1 = np.argsort(deg1_orig, kind="stable").astype(np.int32)
+    inv1 = np.empty_like(perm1)
+    inv1[perm1] = np.arange(n1, dtype=np.int32)
+    out1 = inv1[out1]
+    in1 = inv1[in1]
 
     n1p = _round_up(n1, I1_TILE)
     n2p = _round_up(n2, LANE)
@@ -232,8 +256,28 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
                 gat_msk[s, w, k][hit] = 1.0
     win_any = (gat_msk.sum(-1) > 0).astype(np.int32)
 
+    # ---- degree-class tile groups ------------------------------------------
+    # per-tile slot requirement (rows are degree-sorted, so this is
+    # non-decreasing); optimal <= 3 contiguous groups minimizing
+    # sum(group_tiles * group_s1) by exhaustive split search
+    T = n1p // I1_TILE
+    smax = np.zeros(T, np.int64)
+    for t in range(T):
+        rows = deg1[t * I1_TILE:(t + 1) * I1_TILE]
+        smax[t] = min(int(rows.max()) if len(rows) else 0, s1)
+    best_cost, best_groups = None, ((0, T, s1),)
+    for a in range(1, T + 1):
+        for b in range(a, T + 1):
+            bounds = [(0, a), (a, b), (b, T)]
+            gs = [(t0, t1, int(smax[t1 - 1])) for t0, t1 in bounds
+                  if t1 > t0]
+            cost = sum((t1 - t0) * sg for t0, t1, sg in gs)
+            if best_cost is None or cost < best_cost:
+                best_cost, best_groups = cost, tuple(gs)
+
     return UnivPlanV3(
         n1=n1, n2=n2, n1p=n1p, n2p=n2p, s1=s1, s2=s2, transpose=transpose,
+        perm1=perm1, inv1=inv1, groups=best_groups,
         perm2=perm2, inv2=inv2, d1_slot=d1_slot, e1_slot=e1_slot,
         e2_slot=e2_slot, gat_idx=gat_idx, gat_msk=gat_msk, win_any=win_any,
         spill1=np.asarray(sorted(spill1), np.int32),
@@ -241,17 +285,23 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
         out1=out1, in1=in1, out2=out2, in2=in2)
 
 
-def build_kep(Ke: jnp.ndarray, plan: UnivPlanV3,
-              dtype=jnp.float32) -> jnp.ndarray:
-    """Gather Ke into the padded-degree tensor (device, once per pair):
-    KeP[t1, s1, s2, r8, j] = Ke[e1_slot[8·t1+r8, s1], e2_slot[s2, j]]
-    with pad slots reading appended zero row/col."""
-    e1, e2 = Ke.shape
+def build_kep(Ke: jnp.ndarray, plan: UnivPlanV3, dtype=jnp.float32) -> tuple:
+    """Gather Ke into per-group padded-degree tensors (device, once per
+    pair): KeP_g[t, s1, s2, r, j] = Ke[e1_slot[I1_TILE·(t0+t)+r, s1],
+    e2_slot[s2, j]] with pad slots reading the appended zero row/col. One
+    tensor per degree-class tile group (UnivPlanV3.groups), each holding
+    only that group's s1_g slot planes; s1_g == 0 groups carry None."""
     Kz = jnp.pad(Ke, ((0, 1), (0, 1))).astype(dtype)
-    kep = Kz[plan.e1_slot][:, :, plan.e2_slot]        # (n1p, s1, s2, n2p)
-    t1 = plan.n1p // I1_TILE
-    kep = kep.reshape(t1, I1_TILE, plan.s1, plan.s2, plan.n2p)
-    return jnp.transpose(kep, (0, 2, 3, 1, 4))        # (t1, s1, s2, 8, n2p)
+    out = []
+    for t0, t1, sg in plan.groups:
+        if sg == 0:
+            out.append(None)
+            continue
+        rows = plan.e1_slot[t0 * I1_TILE:t1 * I1_TILE, :sg]
+        kep = Kz[rows][:, :, plan.e2_slot]       # (rows, sg, s2, n2p)
+        kep = kep.reshape(t1 - t0, I1_TILE, sg, plan.s2, plan.n2p)
+        out.append(jnp.transpose(kep, (0, 2, 3, 1, 4)))
+    return tuple(out)
 
 
 def _kernel(d1_ref,                      # SMEM (n1p, s1) int32
@@ -402,7 +452,7 @@ def univ_v3_prep(X: jnp.ndarray, plan: UnivPlanV3,
     GNN layer and C=17 later layers)."""
     p = plan
     cp = _round_up(X.shape[-1], 8)
-    Xs = X[:, p.perm2]
+    Xs = X[p.perm1][:, p.perm2]
     return jnp.pad(jnp.transpose(Xs, (0, 2, 1)),
                    ((0, p.n1p - p.n1), (0, cp - X.shape[-1]),
                     (0, p.n2p - p.n2))).astype(compute_dtype)
@@ -411,7 +461,7 @@ def univ_v3_prep(X: jnp.ndarray, plan: UnivPlanV3,
 def univ_v3_unprep(Yt: jnp.ndarray, plan: UnivPlanV3) -> jnp.ndarray:
     """Inverse of `univ_v3_prep` (output is f32 (n1, n2, C))."""
     p = plan
-    Y = jnp.transpose(Yt[:p.n1, :, :p.n2], (0, 2, 1))
+    Y = jnp.transpose(Yt[p.inv1][:, :, :p.n2], (0, 2, 1))
     return Y[:, p.inv2]
 
 
@@ -444,35 +494,52 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
     all_ones = tuple(tuple(tuple(bool(v) for v in row)
                            for row in plane) for plane in ones)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, s1=p.s1, s2=p.s2, n2p=p.n2p, c=c,
-                          win_any=win_any, all_ones=all_ones,
-                          interpret=interpret),
-        grid=(t1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),         # d1_slot
-            pl.BlockSpec(memory_space=pl.ANY),             # Xt (HBM)
-            pl.BlockSpec((1, p.s1, p.s2, I1_TILE, p.n2p),
-                         lambda i: (i, 0, 0, 0, 0)),       # KeP
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_idx
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_msk
-        ],
-        out_specs=pl.BlockSpec((1, I1_TILE * c, p.n2p), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t1, I1_TILE * c, p.n2p), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, I1_TILE * c, p.n2p), Xt.dtype),
-            pltpu.SemaphoreType.DMA((2, I1_TILE)),
-            pltpu.VMEM((I1_TILE * c, p.n2p), jnp.float32),
-        ],
-        interpret=interpret,
-    )(jnp.asarray(p.d1_slot), Xt,
-      # KeP stays f32 even on the bf16 path: Mosaic can't broadcast a bf16
-      # (1,128) row slice at a sublane offset inside a packed (16,128)
-      # tile ("Invalid input layout"); the f32 row broadcast is native
-      KeP.astype(jnp.float32),
-      jnp.asarray(p.gat_idx), jnp.asarray(p.gat_msk, Xt.dtype))
+    # one pallas_call per degree-class tile group (plan.groups): each group
+    # runs only its own s1_g slot planes — low-degree tiles stop paying the
+    # global cap's padded planes, zero-degree groups (bucket pad rows) skip
+    # the kernel outright
+    idx_arr = jnp.asarray(p.gat_idx)
+    msk_arr = jnp.asarray(p.gat_msk, Xt.dtype)
+    blocks = []
+    for g, (t0g, t1g, sg) in enumerate(p.groups):
+        tg = t1g - t0g
+        if sg == 0:
+            blocks.append(jnp.zeros((tg, I1_TILE * c, p.n2p), jnp.float32))
+            continue
+        d1_g = p.d1_slot[t0g * I1_TILE:t1g * I1_TILE, :sg]
+        blocks.append(pl.pallas_call(
+            functools.partial(_kernel, s1=sg, s2=p.s2, n2p=p.n2p, c=c,
+                              win_any=win_any, all_ones=all_ones,
+                              interpret=interpret),
+            grid=(tg,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),         # d1_slot
+                pl.BlockSpec(memory_space=pl.ANY),             # Xt (HBM)
+                pl.BlockSpec((1, sg, p.s2, I1_TILE, p.n2p),
+                             lambda i: (i, 0, 0, 0, 0)),       # KeP
+                pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_idx
+                pl.BlockSpec(memory_space=pltpu.VMEM),         # gat_msk
+            ],
+            out_specs=pl.BlockSpec((1, I1_TILE * c, p.n2p),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((tg, I1_TILE * c, p.n2p),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, I1_TILE * c, p.n2p), Xt.dtype),
+                pltpu.SemaphoreType.DMA((2, I1_TILE)),
+                pltpu.VMEM((I1_TILE * c, p.n2p), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(d1_g), Xt,
+          # KeP stays f32 even on the bf16 path: Mosaic can't broadcast a
+          # bf16 (1,128) row slice at a sublane offset inside a packed
+          # (16,128) tile ("Invalid input layout"); the f32 row broadcast
+          # is native
+          KeP[g].astype(jnp.float32),
+          idx_arr, msk_arr))
 
-    # (t1, 8*C, n2p) rows are (i1_local*C + c) row-major -> a FREE reshape
+    out = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+    # (t1, 16*C, n2p) rows are (i1_local*C + c) row-major -> a FREE reshape
     Yt = out.reshape(p.n1p, c, p.n2p)
     Yt = Yt + Kpt[:, None, :] * Xt.astype(jnp.float32)
 
@@ -508,9 +575,10 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
 
 
 def univ_v3_prep_kp(Kp: jnp.ndarray, plan: UnivPlanV3) -> jnp.ndarray:
-    """Kp (n1, n2) -> sorted-column, zero-padded (n1p, n2p) f32."""
+    """Kp (n1, n2) -> sorted-row, sorted-column, zero-padded (n1p, n2p)
+    f32."""
     p = plan
-    return jnp.pad(Kp[:, p.perm2].astype(jnp.float32),
+    return jnp.pad(Kp[p.perm1][:, p.perm2].astype(jnp.float32),
                    ((0, p.n1p - p.n1), (0, p.n2p - p.n2)))
 
 

@@ -137,6 +137,51 @@ def test_univ_v3_spill_capture(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_univ_v3_degenerate_zero_edge_side(rng):
+    """A 1-2 keypoint image has no Delaunay edges. cli/match.py only rejects
+    zero-keypoint images and auto-routes n_max >= 256 through this kernel,
+    so the plan must survive zero-edge sides (round-4 advisor finding:
+    _auto_cap returned 0 → s1 = 0 → zero-width slot table trace crash)."""
+    from fpmatch_tpu.kernels.assoc_univ_v3 import (assoc_matvec_univ_v3,
+                                                   build_kep, plan_univ_v3)
+
+    n, c = 130, 4
+    pts2 = rng.uniform(size=(n, 2)).astype(np.float32)
+    empty = np.zeros(0, np.int32)
+    s2, d2 = rg2(rng, n)
+    X = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    Kp = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+
+    # zero edges on side 1 (and a padded-width Ke, as the model ships)
+    Ke = jnp.zeros((8, len(s2)), np.float32)
+    want = assoc_matvec(X, Kp, Ke[:0], empty, empty, jnp.asarray(s2),
+                        jnp.asarray(d2), transpose=True)
+    plan = plan_univ_v3(pts2, empty, empty, s2, d2, transpose=True, n1=n)
+    assert plan.s1 >= 1 and plan.s2 >= 1
+    got = assoc_matvec_univ_v3(X, Kp, Ke[:0], plan, build_kep(Ke[:0], plan),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # zero edges on BOTH sides: pure Kp diagonal
+    plan = plan_univ_v3(pts2, empty, empty, empty, empty, transpose=True,
+                        n1=n)
+    assert plan.s1 >= 1 and plan.s2 >= 1
+    got = assoc_matvec_univ_v3(X, Kp, jnp.zeros((0, 0), np.float32), plan,
+                               build_kep(jnp.zeros((0, 0), np.float32),
+                                         plan), interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(Kp[..., None] * X),
+                               rtol=1e-5, atol=1e-5)
+
+
+def rg2(rng, n):
+    """A small Delaunay edge set over n spatially random nodes."""
+    pts = rng.uniform(size=(n, 2)).astype(np.float32) * [4.0, 1.0]
+    _, s, d = build_edges(pts, stg="tri")
+    return s, d
+
+
 def test_ngm_forward_univ_kernel_path_matches_default():
     """NGMNet(univ_plan=...) single-pair serving path (v3 kernel, interpret
     on CPU) vs the default chunked/auto dispatch: same params, allclose."""
