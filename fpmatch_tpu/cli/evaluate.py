@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--e-max", type=int, default=384)
     ap.add_argument("--univ", type=int, default=600)
     ap.add_argument("--num-viz", type=int, default=4)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="seeded random subsample of this many test pairs "
+                         "(A/B studies; full protocol when omitted)")
     ap.add_argument("--augment", action="store_true",
                     help="augment test pairs (harder cross-session protocol)")
     ap.add_argument("--score", default="fused",
@@ -103,6 +106,11 @@ def main(argv=None):
     bench = make_benchmark(args.dataset, "test", root=args.data_root,
                            task="classify")
     pd = PairDataset(bench, cfg, augment=args.augment)
+    if args.limit and len(pd.pairs) > args.limit:
+        keep = np.random.default_rng(0).choice(
+            len(pd.pairs), size=args.limit, replace=False)
+        pd.pairs = [pd.pairs[i] for i in sorted(keep)]
+        log(f"seeded subsample: {args.limit} of the full protocol")
     loader = DataLoader(pd, cfg, drop_last=False, device_prefetch=True)
     pair_ids = list(pd.pairs)
     log(f"test pairs: {len(pd)}")
