@@ -266,14 +266,17 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
         rows = deg1[t * I1_TILE:(t + 1) * I1_TILE]
         smax[t] = min(int(rows.max()) if len(rows) else 0, s1)
     best_cost, best_groups = None, ((0, T, s1),)
-    for a in range(1, T + 1):
-        for b in range(a, T + 1):
-            bounds = [(0, a), (a, b), (b, T)]
-            gs = [(t0, t1, int(smax[t1 - 1])) for t0, t1 in bounds
-                  if t1 > t0]
-            cost = sum((t1 - t0) * sg for t0, t1, sg in gs)
-            if best_cost is None or cost < best_cost:
-                best_cost, best_groups = cost, tuple(gs)
+    if _os.environ.get("FPMATCH_UNIV3_NOGROUP"):  # ablation: uniform planes
+        best_cost = T * s1
+    else:
+        for a in range(1, T + 1):
+            for b in range(a, T + 1):
+                bounds = [(0, a), (a, b), (b, T)]
+                gs = [(t0, t1, int(smax[t1 - 1])) for t0, t1 in bounds
+                      if t1 > t0]
+                cost = sum((t1 - t0) * sg for t0, t1, sg in gs)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_groups = cost, tuple(gs)
 
     return UnivPlanV3(
         n1=n1, n2=n2, n1p=n1p, n2p=n2p, s1=s1, s2=s2, transpose=transpose,
@@ -548,6 +551,8 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
     # static buckets); only the plan's rows/cols are read.
     inv2 = p.inv2
     e1_real, e2_real = len(p.out1), len(p.out2)
+    if "nospill" in _ABLATE:   # timing-only: results wrong when spills exist
+        return Yt
     if len(p.spill1):
         sp = p.spill1
         rows = Xt[p.in1[sp]].astype(jnp.float32)          # (k1, C, n2p)
