@@ -289,7 +289,8 @@ class NGMNet(nn.Module):
             from ..ops.assoc import assoc_degree
 
             plan = self.univ_plan
-            kdt = jnp.bfloat16 if self.univ_bf16 else jnp.float32
+            kdt = jnp.bfloat16 if (self.univ_bf16
+                                   or cdt == jnp.bfloat16) else jnp.float32
             KeP = build_kep(Ke[0], plan, dtype=kdt)
             deg = assoc_degree(kp_present[0], edge_mask[0, 0],
                                edge_mask[0, 1], batch.src[0, 0],
