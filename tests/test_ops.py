@@ -42,10 +42,12 @@ def test_sinkhorn_doubly_stochastic(rng):
 
 
 def test_sinkhorn_batch_vmap(rng):
-    B, S = 3, 8
+    # mixed orientations on the SQUARE pad (the transpose fast path:
+    # flipped problems transpose once instead of dual-axis normalizing)
+    B, S = 4, 8
     s = rng.normal(size=(B, S, S)).astype(np.float32)
-    n1 = np.array([5, 8, 3], np.int32)
-    n2 = np.array([7, 8, 3], np.int32)
+    n1 = np.array([5, 8, 3, 7], np.int32)
+    n2 = np.array([7, 8, 3, 4], np.int32)
     out = np.asarray(sinkhorn_batch(jnp.asarray(s), jnp.asarray(n1),
                                     jnp.asarray(n2), tau=0.2))
     for b in range(B):
