@@ -78,7 +78,8 @@ C_DEFAULT = 16
 
 # perf-bisection switches (debug only; wrong results when set):
 # comma-separated list in FPMATCH_UNIV3_ABLATE from
-# {nogather, nodot, nocond, nodma}
+# {nogather, nodot, nocond, nodma, nospill, nospill1, nospill2}
+# (plus FPMATCH_UNIV3_NOGROUP=1: uniform slot planes, no degree grouping)
 _ABLATE = set(filter(None,
                      _os.environ.get("FPMATCH_UNIV3_ABLATE", "").split(",")))
 
@@ -194,7 +195,16 @@ def plan_univ_v3(pts2: np.ndarray, src1, dst1, src2, dst2,
     # ---- graph-1 slots ----------------------------------------------------
     order1 = np.argsort(out1, kind="stable")
     deg1 = np.bincount(out1, minlength=n1)
-    s1 = int(min(max(deg1.max(), 1), s1_cap or _auto_cap(deg1)))
+    if s1_cap is not None:
+        s1 = int(min(max(deg1.max(), 1), s1_cap))
+    else:
+        # With degree-class grouping the top group pays max-degree planes
+        # only for its own tiles, while the spill postlude measured ~half
+        # the whole matvec (logs/univ3_ablate_r5.log nospill: 2.92 -> 1.41
+        # ms) — so auto plans carry the FULL degree table (spill1 empty)
+        # unless the max degree is pathological (> 2x the 0.5%-overflow
+        # cap), where padded planes would out-cost the XLA fallback.
+        s1 = int(min(max(deg1.max(), 1), max(2 * _auto_cap(deg1), 12)))
     d1_slot = np.zeros((n1p, s1), np.int32)
     e1_slot = np.full((n1p, s1), e1, np.int32)
     spill1 = []
@@ -553,29 +563,42 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
     e1_real, e2_real = len(p.out1), len(p.out2)
     if "nospill" in _ABLATE:   # timing-only: results wrong when spills exist
         return Yt
-    if len(p.spill1):
+    # Both spill forms are gather -> one-hot matmul: the round-4 forms paid
+    # (a) a materialized (E1, C, n2p) row gather (~146 MB/matvec at n=600)
+    # and (b) segment_sum scatters, which XLA serializes on TPU — together
+    # ~half the matvec (logs/univ3_ablate_r5.log). The one-hot segment
+    # matrices are trace-time constants (<10 MB) and the contraction runs
+    # on the MXU (< 1 GFLOP at n=600 caps).
+    if len(p.spill1) and "nospill1" not in _ABLATE:
         sp = p.spill1
+        k1 = len(sp)
         rows = Xt[p.in1[sp]].astype(jnp.float32)          # (k1, C, n2p)
         in2s = inv2[p.in2]
         out2s = inv2[p.out2]
-        W = rows[:, :, in2s] * Ket[sp, :e2_real][:, None, :]  # (k1, C, E2)
-        T = jax.ops.segment_sum(jnp.swapaxes(W, 0, 2), out2s,
-                                num_segments=p.n2p)       # (n2p, C, k1)
-        Yt = Yt.at[p.out1[sp]].add(jnp.swapaxes(T, 0, 2))
-    if len(p.spill2):
+        G = rows[:, :, in2s]                              # (k1, C, E2)
+        W = G * Ket[sp, :e2_real].astype(jnp.float32)[:, None, :]
+        seg2 = np.zeros((e2_real, p.n2p), np.float32)     # out2 one-hot
+        seg2[np.arange(e2_real), out2s] = 1.0
+        T = W.reshape(k1 * c, e2_real) @ jnp.asarray(seg2)
+        Yt = Yt.at[p.out1[sp]].add(T.reshape(k1, c, p.n2p))
+    if len(p.spill2) and "nospill2" not in _ABLATE:
         keep1 = np.setdiff1d(np.arange(e1_real, dtype=np.int32),
                              p.spill1)
         f = p.spill2
+        k2 = len(f)
         cols_in = inv2[p.in2[f]]
         cols_out = inv2[p.out2[f]]
         # small fancy slice (E1k, k2), NOT Ke[keep1][:, f] which would
         # materialize a full (E1, E2) copy per matvec
-        kef = Ket[keep1[:, None], f[None, :]]
-        W = Xt[p.in1[keep1]][:, :, cols_in].astype(jnp.float32) \
-            * kef[:, None, :]                             # (E1k, C, k2)
-        T = jax.ops.segment_sum(W, p.out1[keep1],
-                                num_segments=p.n1p)       # (n1p, C, k2)
-        Yt = Yt.at[:, :, cols_out].add(T)
+        kef = Ket[keep1[:, None], f[None, :]].astype(jnp.float32)
+        # gather the k2 input COLUMNS first (n1p, C, k2), then the edge
+        # rows from that small tensor
+        xc = Xt[:, :, cols_in].astype(jnp.float32)        # (n1p, C, k2)
+        W = xc[p.in1[keep1]] * kef[:, None, :]            # (E1k, C, k2)
+        seg1 = np.zeros((p.n1p, len(keep1)), np.float32)  # out1 one-hot
+        seg1[p.out1[keep1], np.arange(len(keep1))] = 1.0
+        T = jnp.asarray(seg1) @ W.reshape(len(keep1), c * k2)
+        Yt = Yt.at[:, :, cols_out].add(T.reshape(p.n1p, c, k2))
     return Yt
 
 

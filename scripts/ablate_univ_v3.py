@@ -48,5 +48,7 @@ def chained_slope(lo=2, hi=12, repeats=3):
     return max((bh-bl)/(hi-lo),1e-9)
 
 secs = chained_slope()
-ab = os.environ.get("FPMATCH_UNIV3_ABLATE", "none")
+ab = os.environ.get("FPMATCH_UNIV3_ABLATE", "") or "none"
+if os.environ.get("FPMATCH_UNIV3_NOGROUP"):
+    ab += "+nogroup"
 print(f"dt={os.environ.get('FPMATCH_UNIV3_DT','f32')} ablate={ab}: {nnz/secs:.3e} edges/s ({secs*1e3:.2f} ms)", flush=True)
