@@ -137,6 +137,28 @@ def test_univ_v3_spill_capture(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_univ_v3_auto_plan_no_row_spill(rng):
+    """Auto-capped plans carry the full degree table (spill1 empty): the
+    spill postlude measured ~half the matvec (logs/univ3_ablate_r5.log)
+    while degree-class grouping confines the extra slot planes to the
+    top tiles. Only pathological max degrees (> 2x the 0.5%-overflow cap)
+    may still spill rows."""
+    from fpmatch_tpu.kernels.assoc_univ_v3 import plan_univ_v3
+
+    for n in (200, 600):
+        pts1 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+        pts2 = rng.uniform(size=(n, 2)).astype(np.float32) * [400, 300]
+        _, s1, d1 = build_edges(pts1, stg="tri")
+        _, s2, d2 = build_edges(pts2, stg="tri")
+        plan = plan_univ_v3(pts2, s1, d1, s2, d2, transpose=True)
+        assert len(plan.spill1) == 0
+        deg1 = np.bincount(np.asarray(d1), minlength=n)  # transpose: out=dst
+        assert plan.s1 == deg1.max()
+        # grouping still tiers the planes: the first group must be cheaper
+        # than the global max-degree cap
+        assert plan.groups[0][2] < plan.s1
+
+
 def test_univ_v3_degenerate_zero_edge_side(rng):
     """A 1-2 keypoint image has no Delaunay edges. cli/match.py only rejects
     zero-keypoint images and auto-routes n_max >= 256 through this kernel,
