@@ -43,7 +43,12 @@ def main():
                          "heuristic when it exists")
     args = ap.parse_args()
 
-    rows = list(csv.DictReader(open(args.scores_csv)))
+    if args.scores_csv.endswith(".gz"):
+        import gzip
+        fh = gzip.open(args.scores_csv, "rt")
+    else:
+        fh = open(args.scores_csv)
+    rows = list(csv.DictReader(fh))
     labels = np.array([int(r["label"]) for r in rows])
     scores = np.array([float(r["score"]) for r in rows])
 
