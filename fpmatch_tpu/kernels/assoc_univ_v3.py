@@ -598,7 +598,12 @@ def assoc_matvec_univ_v3_raw(Xt: jnp.ndarray, Kpt: jnp.ndarray,
         seg1 = np.zeros((p.n1p, len(keep1)), np.float32)  # out1 one-hot
         seg1[p.out1[keep1], np.arange(len(keep1))] = 1.0
         T = jnp.asarray(seg1) @ W.reshape(len(keep1), c * k2)
-        Yt = Yt.at[:, :, cols_out].add(T.reshape(p.n1p, c, k2))
+        # scatter the k2 output columns with a second one-hot matmul too:
+        # XLA lowers .at[:, :, cols_out].add to a serialized lane scatter
+        sc2 = np.zeros((k2, p.n2p), np.float32)
+        sc2[np.arange(k2), cols_out] = 1.0
+        Yt = Yt + (T.reshape(p.n1p * c, k2) @ jnp.asarray(sc2)
+                   ).reshape(p.n1p, c, p.n2p)
     return Yt
 
 
