@@ -15,6 +15,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -120,11 +121,20 @@ def main(argv=None):
     log("initializing model…")
     # init on host CPU: eager Flax init over the TPU tunnel costs minutes of
     # per-dispatch latency (RESULTS.md "eager Flax init"; same fix as
-    # cli/train.py) — the finished pytree ships in one transfer
+    # cli/train.py) — the finished pytree ships in one transfer.
+    # Init from host-built ZEROS of the example's spec, not the example
+    # itself: the loader H2D-prefetches batches, and reading one back
+    # (device_put -> cpu -> D2H) intermittently deadlocks against the
+    # prefetch threads on the tunneled TPU (futex hang inside
+    # jax.Array._value; stack in logs/run6_evals2.log). Init only feeds
+    # shapes — the checkpoint restore overwrites every value.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        variables = model.init(jax.random.PRNGKey(0),
-                               jax.device_put(example, cpu), train=False)
+        example_host = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype) if hasattr(a, "shape")
+            else a, example)
+        variables = model.init(jax.random.PRNGKey(0), example_host,
+                               train=False)
     variables = jax.device_put(variables, jax.devices()[0])
     stage = default_stages()[-1]
     state = create_state(variables, stage)
