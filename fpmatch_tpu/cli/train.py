@@ -13,6 +13,7 @@ import logging
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -257,10 +258,17 @@ def main(argv=None):
     with jax.default_device(cpu):
         # init path: single-device model (params are identical — the edge-
         # sharded aggregation is an implementation detail, not a parameter
-        # change), so strip any row_plan the loader hook attached
+        # change), so strip any row_plan the loader hook attached.
+        # Build the init example as host ZEROS of the example's spec: the
+        # loader H2D-prefetches, and reading a device batch back
+        # (np.asarray -> D2H) intermittently deadlocks against the
+        # prefetch threads on the tunneled TPU (same hang as
+        # cli/evaluate.py; stack in logs/run6_evals2_hung.log). Init only
+        # consumes shapes.
         init_example = example._replace(row_plan=None)
-        init_example = jax.device_put(
-            jax.tree_util.tree_map(np.asarray, init_example), cpu)
+        init_example = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype) if hasattr(a, "shape")
+            else a, init_example)
         init_model = NGMNet(cfg)
         variables = init_model.init(jax.random.PRNGKey(args.seed),
                                     init_example, train=False)
